@@ -225,10 +225,12 @@ def pbd_apply(g: JointGroup, qp: QP, nb: int) -> DQ:
         n1 = maths.rotate(ref_p, fixrot)
         dq_2 = jnp.cross(n1, ref_c)
 
-        for dq_ang in (dq_1, dq_2):
-            ap, ac = _angle_update(g, qp_p, qp_c, dq_ang)
-            dq_p_rot = dq_p_rot + ap
-            dq_c_rot = dq_c_rot + ac
+        # sum angle-update rows first, then add to the positional update
+        # (matches reference addition order, joints.py:298-307)
+        ap1, ac1 = _angle_update(g, qp_p, qp_c, dq_1)
+        ap2, ac2 = _angle_update(g, qp_p, qp_c, dq_2)
+        dq_p_rot = dq_p_rot + (ap1 + ap2)
+        dq_c_rot = dq_c_rot + (ac1 + ac2)
     elif g.kind == "spherical":
         axis_p_r = _rotate_frame(g.axis_p, qp_p.rot)
         axis_c_r = _rotate_frame(g.axis_c, qp_c.rot)
@@ -250,6 +252,7 @@ def pbd_apply(g: JointGroup, qp: QP, nb: int) -> DQ:
             (-axis_2_normal * jnp.sign(vdot(axis_1_p, axis_3_c))[..., None], axis_1_p, axis_1_p_in_xz_c, 1),
             (axis_3_c, line_of_nodes, axis_2_c, 2),  # -yc_n_normal == axis_3_c
         )
+        updates = []
         for n, n_1, n_2, lim_i in rows:
             ph = maths.signed_angle(n, n_1, n_2)
             lo = g.limit[..., lim_i, 0]
@@ -260,9 +263,11 @@ def pbd_apply(g: JointGroup, qp: QP, nb: int) -> DQ:
             fixrot = maths.quat_rot_axis(n, ph)
             n1 = maths.rotate(n_1, fixrot)
             dq_ang = jnp.cross(n1, n_2) * mask[..., None]
-            ap, ac = _angle_update(g, qp_p, qp_c, dq_ang)
-            dq_p_rot = dq_p_rot + ap
-            dq_c_rot = dq_c_rot + ac
+            updates.append(_angle_update(g, qp_p, qp_c, dq_ang))
+        # sum rows first, then add to positional update (ref joints.py:383-384)
+        (ap1, ac1), (ap2, ac2), (ap3, ac3) = updates
+        dq_p_rot = dq_p_rot + (ap1 + ap2 + ap3)
+        dq_c_rot = dq_c_rot + (ac1 + ac2 + ac3)
     else:
         raise ValueError(f"pbd_apply on non-pbd joint group: {g.kind}")
 

@@ -1,0 +1,108 @@
+"""Rollout generation and evaluation.
+
+Parity: /root/reference/brax/training/acting.py:30-139.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from brax_tpu import envs
+from brax_tpu.envs import wrappers
+from brax_tpu.training.types import Metrics, Policy, PolicyParams, PRNGKey, Transition
+
+
+def actor_step(
+    env: envs.Env,
+    env_state: envs.State,
+    policy: Policy,
+    key: PRNGKey,
+    extra_fields: Sequence[str] = (),
+) -> Tuple[envs.State, Transition]:
+    """One policy step + env step, emitting a Transition."""
+    actions, policy_extras = policy(env_state.obs, key)
+    nstate = env.step(env_state, actions)
+    state_extras = {x: nstate.info[x] for x in extra_fields}
+    return nstate, Transition(
+        observation=env_state.obs,
+        action=actions,
+        reward=nstate.reward,
+        discount=1 - nstate.done,
+        next_observation=nstate.obs,
+        extras={"policy_extras": policy_extras, "state_extras": state_extras},
+    )
+
+
+def generate_unroll(
+    env: envs.Env,
+    env_state: envs.State,
+    policy: Policy,
+    key: PRNGKey,
+    unroll_length: int,
+    extra_fields: Sequence[str] = (),
+) -> Tuple[envs.State, Transition]:
+    """Collects a trajectory of given unroll_length via lax.scan."""
+
+    def f(carry, unused_t):
+        state, current_key = carry
+        current_key, next_key = jax.random.split(current_key)
+        nstate, transition = actor_step(
+            env, state, policy, current_key, extra_fields=extra_fields
+        )
+        return (nstate, next_key), transition
+
+    (final_state, _), data = jax.lax.scan(f, (env_state, key), (), length=unroll_length)
+    return final_state, data
+
+
+class Evaluator:
+    """Runs policy evaluation episodes and aggregates metrics."""
+
+    def __init__(self, eval_env: envs.Env,
+                 eval_policy_fn: Callable[[PolicyParams], Policy],
+                 num_eval_envs: int, episode_length: int, action_repeat: int,
+                 key: PRNGKey):
+        self._key = key
+        self._eval_walltime = 0.0
+
+        eval_env = wrappers.EvalWrapper(eval_env)
+
+        def generate_eval_unroll(policy_params: PolicyParams, key: PRNGKey) -> envs.State:
+            reset_keys = jax.random.split(key, num_eval_envs)
+            eval_first_state = eval_env.reset(reset_keys)
+            return generate_unroll(
+                eval_env,
+                eval_first_state,
+                eval_policy_fn(policy_params),
+                key,
+                unroll_length=episode_length // action_repeat,
+            )[0]
+
+        self._generate_eval_unroll = jax.jit(generate_eval_unroll)
+        self._steps_per_unroll = episode_length * num_eval_envs
+
+    def run_evaluation(self, policy_params: PolicyParams,
+                       training_metrics: Metrics,
+                       aggregate_episodes: bool = True) -> Metrics:
+        """Runs one evaluation epoch and returns eval/ metrics."""
+        self._key, unroll_key = jax.random.split(self._key)
+
+        t = time.time()
+        eval_state = self._generate_eval_unroll(policy_params, unroll_key)
+        eval_metrics = eval_state.info["eval_metrics"]
+        eval_metrics.active_episodes.block_until_ready()
+        epoch_eval_time = time.time() - t
+        metrics = {
+            f"eval/episode_{name}": np.mean(value) if aggregate_episodes else value
+            for name, value in eval_metrics.episode_metrics.items()
+        }
+        metrics["eval/avg_episode_length"] = np.mean(eval_metrics.episode_steps)
+        metrics["eval/epoch_eval_time"] = epoch_eval_time
+        metrics["eval/sps"] = self._steps_per_unroll / epoch_eval_time
+        self._eval_walltime = self._eval_walltime + epoch_eval_time
+        metrics = {"eval/walltime": self._eval_walltime, **training_metrics, **metrics}
+        return metrics

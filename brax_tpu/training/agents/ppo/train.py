@@ -1,0 +1,316 @@
+"""Proximal policy optimization, TPU-native.
+
+One jitted SPMD program per epoch: rollout + normalizer update + SGD run
+inside `shard_map` over a 1-D device mesh (axis 'i' = env/data axis).  Env
+state lives sharded along the env axis; params/optimizer state are replicated;
+gradients/statistics sync via `lax.pmean`/`psum` over ICI.  This replaces the
+reference's pmap architecture (/root/reference/brax/training/agents/ppo/
+train.py:61-340) with GSPMD-era idioms; algorithmic content is identical.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as onp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from brax_tpu import envs
+from brax_tpu.envs import wrappers
+from brax_tpu.training import acting, gradients, mesh_utils, running_statistics, types
+from brax_tpu.training.agents.ppo import losses as ppo_losses
+from brax_tpu.training.agents.ppo import networks as ppo_networks
+from brax_tpu.training.types import Params, PRNGKey
+
+Metrics = types.Metrics
+AXIS = mesh_utils.AXIS
+
+
+@flax.struct.dataclass
+class TrainingState:
+    """Learner state."""
+
+    optimizer_state: optax.OptState
+    params: ppo_losses.PPONetworkParams
+    normalizer_params: running_statistics.RunningStatisticsState
+    env_steps: jnp.ndarray
+
+
+def train(
+    environment: envs.Env,
+    num_timesteps: int,
+    episode_length: int,
+    action_repeat: int = 1,
+    num_envs: int = 1,
+    num_eval_envs: int = 128,
+    learning_rate: float = 1e-4,
+    entropy_cost: float = 1e-4,
+    discounting: float = 0.9,
+    seed: int = 0,
+    unroll_length: int = 10,
+    batch_size: int = 32,
+    num_minibatches: int = 16,
+    num_updates_per_batch: int = 2,
+    num_evals: int = 1,
+    normalize_observations: bool = False,
+    reward_scaling: float = 1.0,
+    clipping_epsilon: float = 0.3,
+    gae_lambda: float = 0.95,
+    deterministic_eval: bool = False,
+    network_factory: types.NetworkFactory = ppo_networks.make_ppo_networks,
+    progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
+    normalize_advantage: bool = True,
+    eval_env: Optional[envs.Env] = None,
+    mesh=None,
+):
+    """PPO training; returns (make_policy, params, metrics)."""
+    assert batch_size * num_minibatches % num_envs == 0
+    xt = time.time()
+
+    mesh = mesh or mesh_utils.create_mesh()
+    device_count = mesh.size
+    assert num_envs % device_count == 0
+
+    env_step_per_training_step = (
+        batch_size * unroll_length * num_minibatches * action_repeat
+    )
+    num_evals_after_init = max(num_evals - 1, 1)
+    num_training_steps_per_epoch = -(
+        -num_timesteps // (num_evals_after_init * env_step_per_training_step)
+    )
+
+    env = wrappers.wrap_for_training(
+        environment, episode_length=episode_length, action_repeat=action_repeat
+    )
+
+    normalize = lambda x, y: x
+    if normalize_observations:
+        normalize = running_statistics.normalize
+    ppo_network = network_factory(
+        env.observation_size, env.action_size, preprocess_observations_fn=normalize
+    )
+    make_policy = ppo_networks.make_inference_fn(ppo_network)
+
+    optimizer = optax.adam(learning_rate=learning_rate)
+
+    loss_fn = functools.partial(
+        ppo_losses.compute_ppo_loss,
+        ppo_network=ppo_network,
+        entropy_cost=entropy_cost,
+        discounting=discounting,
+        reward_scaling=reward_scaling,
+        gae_lambda=gae_lambda,
+        clipping_epsilon=clipping_epsilon,
+        normalize_advantage=normalize_advantage,
+    )
+
+    gradient_update_fn = gradients.gradient_update_fn(
+        loss_fn, optimizer, pmap_axis_name=AXIS, has_aux=True
+    )
+
+    def minibatch_step(carry, data: types.Transition, normalizer_params):
+        optimizer_state, params, key = carry
+        key, key_loss = jax.random.split(key)
+        (_, metrics), params, optimizer_state = gradient_update_fn(
+            params, normalizer_params, data, key_loss, optimizer_state=optimizer_state
+        )
+        return (optimizer_state, params, key), metrics
+
+    def sgd_step(carry, unused_t, data: types.Transition, normalizer_params):
+        optimizer_state, params, key = carry
+        key, key_perm, key_grad = jax.random.split(key, 3)
+
+        def convert_data(x: jnp.ndarray):
+            # shard-local shuffle: no cross-device traffic in the SGD loop
+            x = jax.random.permutation(key_perm, x)
+            x = jnp.reshape(x, (num_minibatches, -1) + x.shape[1:])
+            return x
+
+        shuffled_data = jax.tree_util.tree_map(convert_data, data)
+        (optimizer_state, params, _), metrics = jax.lax.scan(
+            functools.partial(minibatch_step, normalizer_params=normalizer_params),
+            (optimizer_state, params, key_grad),
+            shuffled_data,
+            length=num_minibatches,
+        )
+        return (optimizer_state, params, key), metrics
+
+    def training_step(carry, unused_t):
+        training_state, state, key = carry
+        key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
+
+        policy = make_policy(
+            (training_state.normalizer_params, training_state.params.policy)
+        )
+
+        def f(carry, unused_t):
+            current_state, current_key = carry
+            current_key, next_key = jax.random.split(current_key)
+            next_state, data = acting.generate_unroll(
+                env,
+                current_state,
+                policy,
+                current_key,
+                unroll_length,
+                extra_fields=("truncation",),
+            )
+            return (next_state, next_key), data
+
+        (state, _), data = jax.lax.scan(
+            f,
+            (state, key_generate_unroll),
+            (),
+            length=batch_size * num_minibatches // num_envs,
+        )
+        # leading dims -> (batch_size * num_minibatches / device_count, unroll_length)
+        data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
+        data = jax.tree_util.tree_map(
+            lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data
+        )
+
+        normalizer_params = running_statistics.update(
+            training_state.normalizer_params,
+            data.observation,
+            pmap_axis_name=AXIS,
+        )
+
+        (optimizer_state, params, _), metrics = jax.lax.scan(
+            functools.partial(sgd_step, data=data, normalizer_params=normalizer_params),
+            (training_state.optimizer_state, training_state.params, key_sgd),
+            (),
+            length=num_updates_per_batch,
+        )
+
+        new_training_state = TrainingState(
+            optimizer_state=optimizer_state,
+            params=params,
+            normalizer_params=normalizer_params,
+            env_steps=training_state.env_steps + env_step_per_training_step,
+        )
+        return (new_training_state, state, new_key), metrics
+
+    def training_epoch(training_state: TrainingState, state: envs.State, key: PRNGKey):
+        # key arrives per-shard with a leading length-1 axis
+        key = jnp.squeeze(key, axis=0)
+        (training_state, state, _), loss_metrics = jax.lax.scan(
+            training_step,
+            (training_state, state, key),
+            (),
+            length=num_training_steps_per_epoch,
+        )
+        loss_metrics = jax.tree_util.tree_map(jnp.mean, loss_metrics)
+        loss_metrics = jax.lax.pmean(loss_metrics, axis_name=AXIS)
+        return training_state, state, loss_metrics
+
+    training_epoch = jax.jit(
+        mesh_utils.shard_map(
+            training_epoch,
+            mesh,
+            in_specs=(P(), P(AXIS), P(AXIS)),
+            out_specs=(P(), P(AXIS), P()),
+        ),
+        donate_argnums=(0, 1),
+    )
+
+    training_walltime = 0.0
+
+    def training_epoch_with_timing(training_state, env_state, key):
+        nonlocal training_walltime
+        t = time.time()
+        training_state, env_state, metrics = training_epoch(training_state, env_state, key)
+        metrics = jax.tree_util.tree_map(jnp.mean, metrics)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
+
+        epoch_training_time = time.time() - t
+        training_walltime += epoch_training_time
+        sps = (
+            num_training_steps_per_epoch * env_step_per_training_step
+        ) / epoch_training_time
+        metrics = {
+            "training/sps": sps,
+            "training/walltime": training_walltime,
+            **{f"training/{name}": value for name, value in metrics.items()},
+        }
+        return training_state, env_state, metrics
+
+    key = jax.random.PRNGKey(seed)
+    global_key, local_key = jax.random.split(key)
+    del key
+    local_key, key_env, eval_key = jax.random.split(local_key, 3)
+    key_policy, key_value = jax.random.split(global_key)
+    del global_key
+
+    init_params = ppo_losses.PPONetworkParams(
+        policy=ppo_network.policy_network.init(key_policy),
+        value=ppo_network.value_network.init(key_value),
+    )
+    training_state = TrainingState(
+        optimizer_state=optimizer.init(init_params),
+        params=init_params,
+        normalizer_params=running_statistics.init_state(
+            running_statistics.ArraySpec((env.observation_size,), jnp.float32)
+        ),
+        env_steps=jnp.zeros(()),
+    )
+    training_state = mesh_utils.put_replicated(training_state, mesh)
+
+    key_envs = jax.random.split(key_env, num_envs)
+    reset_fn = jax.jit(
+        env.reset, out_shardings=mesh_utils.env_sharded(mesh)
+    )
+    env_state = reset_fn(mesh_utils.put_env_sharded(key_envs, mesh))
+
+    if not eval_env:
+        eval_env = env
+    else:
+        eval_env = wrappers.wrap_for_training(
+            eval_env, episode_length=episode_length, action_repeat=action_repeat
+        )
+
+    evaluator = acting.Evaluator(
+        eval_env,
+        functools.partial(make_policy, deterministic=deterministic_eval),
+        num_eval_envs=num_eval_envs,
+        episode_length=episode_length,
+        action_repeat=action_repeat,
+        key=eval_key,
+    )
+
+    metrics = {}
+    if jax.process_index() == 0 and num_evals > 1:
+        metrics = evaluator.run_evaluation(
+            (training_state.normalizer_params, training_state.params.policy),
+            training_metrics={},
+        )
+        progress_fn(0, metrics)
+
+    current_step = 0
+    for it in range(num_evals_after_init):
+        epoch_key, local_key = jax.random.split(local_key)
+        epoch_keys = mesh_utils.put_env_sharded(
+            jax.random.split(epoch_key, device_count), mesh
+        )
+        training_state, env_state, training_metrics = training_epoch_with_timing(
+            training_state, env_state, epoch_keys
+        )
+        current_step = int(training_state.env_steps)
+
+        if jax.process_index() == 0:
+            metrics = evaluator.run_evaluation(
+                (training_state.normalizer_params, training_state.params.policy),
+                training_metrics,
+            )
+            progress_fn(current_step, metrics)
+
+    total_steps = current_step
+    assert total_steps >= num_timesteps
+
+    params = (training_state.normalizer_params, training_state.params.policy)
+    mesh_utils.synchronize_hosts()
+    return (make_policy, params, metrics)

@@ -1,0 +1,62 @@
+"""Imports the reference brax (at /root/reference) for golden-value tests.
+
+The reference targets an older JAX; this installs small compatibility shims
+(absent third-party modules it imports but that our tests never exercise, and
+two renamed jax internals).  Tests using this module must skip gracefully when
+the reference isn't present.
+"""
+
+import sys
+import types
+import warnings
+
+AVAILABLE = False
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def setup():
+    global AVAILABLE
+    if AVAILABLE:
+        return True
+    try:
+        _mod("trimesh")
+        _mod("trimesh.exchange")
+        _mod("trimesh.exchange.load", load_mesh=lambda *a, **k: None)
+        _mod("jax.experimental.host_callback", call=lambda *a, **k: None)
+        gym = _mod("gym", Env=object, Space=object)
+        gym.spaces = _mod("gym.spaces", Box=object)
+        gym.vector = _mod("gym.vector", VectorEnv=object)
+        gym.vector.utils = _mod("gym.vector.utils", batch_space=lambda *a, **k: None)
+        _mod("dm_env", Environment=object, TimeStep=None, StepType=None)
+        _mod("dm_env.specs", Array=object, BoundedArray=object)
+
+        import jax
+        import jax.interpreters.batching as batching
+        from jax._src.interpreters import batching as _b
+
+        batching.__dict__["BatchTracer"] = _b.BatchTracer
+
+        import jax._src.core as _core
+
+        class _FakeSublevel:
+            @property
+            def level(self):
+                return 0 if _core.trace_state_clean() else 1
+
+        jax.core.__dict__["cur_sublevel"] = lambda: _FakeSublevel()
+
+        sys.path.insert(0, "/root/reference")
+        warnings.filterwarnings("ignore")
+        import brax  # noqa: F401
+
+        AVAILABLE = True
+    except Exception:  # noqa: BLE001
+        AVAILABLE = False
+    return AVAILABLE
