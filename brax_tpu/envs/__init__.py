@@ -10,13 +10,46 @@ import functools
 from typing import Callable, Optional, Type, Union
 
 from brax_tpu.envs import base
+from brax_tpu.envs.acrobot import Acrobot
 from brax_tpu.envs.ant import Ant
-from brax_tpu.envs.fast import Fast
 from brax_tpu.envs.base import Env, State, Wrapper
+from brax_tpu.envs.fast import Fast
+from brax_tpu.envs.fetch import Fetch
+from brax_tpu.envs.grasp import Grasp
+from brax_tpu.envs.halfcheetah import Halfcheetah
+from brax_tpu.envs.hopper import Hopper
+from brax_tpu.envs.humanoid import Humanoid, HumanoidLegacy
+from brax_tpu.envs.humanoid_standup import HumanoidStandup
+from brax_tpu.envs.inverted_double_pendulum import InvertedDoublePendulum
+from brax_tpu.envs.inverted_pendulum import InvertedPendulum
+from brax_tpu.envs.pusher import Pusher
+from brax_tpu.envs.reacher import Reacher
+from brax_tpu.envs.reacherangle import ReacherAngle
+from brax_tpu.envs.swimmer import Swimmer
+from brax_tpu.envs.ur5e import Ur5e
+from brax_tpu.envs.walker2d import Walker2d
 
 _envs = {
+    "acrobot": Acrobot,
     "ant": functools.partial(Ant, use_contact_forces=True),
     "fast": Fast,
+    "fetch": Fetch,
+    "grasp": Grasp,
+    "halfcheetah": Halfcheetah,
+    "hopper": Hopper,
+    # the reference registry maps 'humanoid' to the fork's humanoid_new
+    # (reference brax/envs/__init__.py:28-29)
+    "humanoid": Humanoid,
+    "humanoid_legacy": HumanoidLegacy,
+    "humanoidstandup": HumanoidStandup,
+    "inverted_pendulum": InvertedPendulum,
+    "inverted_double_pendulum": InvertedDoublePendulum,
+    "pusher": Pusher,
+    "reacher": Reacher,
+    "reacherangle": ReacherAngle,
+    "swimmer": Swimmer,
+    "ur5e": Ur5e,
+    "walker2d": Walker2d,
 }
 
 

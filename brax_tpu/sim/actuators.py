@@ -118,7 +118,10 @@ class ForceGroup:
 
 
 def force_apply(f: ForceGroup, qp: QP, act: Array, nb: int) -> DP:
-    force_data = jnp.take(act, jnp.asarray(f.act_index.a), axis=-1)  # (nf, 3)
+    # mode="clip" matches the reference's jumpy.take (jumpy.py:146-152); envs
+    # like inverted_pendulum pass a shorter action vector than the force act
+    # indices span, relying on clipping (action_size is overridden to 1)
+    force_data = jnp.take(act, jnp.asarray(f.act_index.a), axis=-1, mode="clip")  # (nf, 3)
     d = force_data * f.strength[..., None] / f.mass[..., None]
     zeros = jnp.zeros_like(d)
     if f.kind == "thruster":
