@@ -18,7 +18,7 @@ def main():
     num_envs = 4096
     num_steps = 200
 
-    env = create("ant", episode_length=1000, auto_reset=True)
+    env = create("ant", episode_length=1000, auto_reset=True, batch_size=num_envs)
 
     rng = jax.random.PRNGKey(0)
     reset_keys = jax.random.split(rng, num_envs)
@@ -38,7 +38,12 @@ def main():
         return state
 
     state = jax.jit(env.reset)(reset_keys)
-    state = rollout(state, rng)  # compile + warmup
+    # warm up with the exact call pattern used in the timed loop: the second
+    # compile (input = rollout output, whose device layouts can differ from
+    # reset output) and the folded-key path must both be cached before timing
+    state = rollout(state, rng)
+    state = rollout(state, jax.random.fold_in(rng, 1001))
+    state = rollout(state, jax.random.fold_in(rng, 1002))
     jax.block_until_ready(state.qp.pos)
 
     t = time.perf_counter()

@@ -39,6 +39,10 @@ class System:
     substeps: int = struct.field(pytree_node=False)
     dynamics_mode: str = struct.field(pytree_node=False)
     num_contacts: int = struct.field(pytree_node=False)
+    # contact-point debug telemetry (positions/normals/penetrations) in the
+    # per-substep Info is only read by the viewer/debug paths; skipping it in
+    # the hot loop saves memory traffic.  Enable with sys.replace(debug=True).
+    debug: bool = struct.field(pytree_node=False, default=False)
 
     # --- traced leaves ---
     mass: Array = None  # (nb,)
@@ -144,7 +148,7 @@ def _concat_contact_info(contacts) -> Tuple[Array, Array, Array]:
 
 def zero_info(sys: System) -> Info:
     zero = _zero_dp(sys.nb)
-    nc = sys.num_contacts
+    nc = sys.num_contacts if sys.debug else 0
     return Info(
         contact=zero,
         joint=zero,
@@ -216,7 +220,7 @@ def _pbd_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
         )
         qp = integ.update_vel(qp, dp_c)
 
-        if contacts:
+        if contacts and sys.debug:
             cpos, cnorm, cpen = _concat_contact_info(contacts)
         else:
             cpos, cnorm, cpen = info.contact_pos, info.contact_normal, info.contact_penetration
@@ -231,7 +235,7 @@ def _pbd_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
         return (qp, info), ()
 
     info0 = zero_info(sys)
-    (qp, info), _ = jax.lax.scan(substep, (qp, info0), (), length=sys.substeps // 2)
+    (qp, info), _ = jax.lax.scan(substep, (qp, info0), (), length=sys.substeps // 2, unroll=True)
     return qp, info
 
 
@@ -256,7 +260,7 @@ def _spring_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
         contacts = [c[1] for c in collide_data]
         qp = integ.update_vel(qp, dp_c)
 
-        if contacts:
+        if contacts and sys.debug:
             cpos, cnorm, cpen = _concat_contact_info(contacts)
         else:
             cpos, cnorm, cpen = info.contact_pos, info.contact_normal, info.contact_penetration
