@@ -83,3 +83,16 @@ def create(
 
 def create_fn(env_name: str, **kwargs) -> Callable[..., Env]:
     return functools.partial(create, env_name, **kwargs)
+
+
+def create_gym_env(env_name: str, batch_size: Optional[int] = None,
+                   seed: int = 0, backend: Optional[str] = None, **kwargs):
+    """Creates a Gym-API env (parity: reference envs/__init__.py:118-131)."""
+    from brax_tpu.envs import interop
+
+    environment = create(env_name, batch_size=batch_size, **kwargs)
+    if batch_size is None:
+        return interop.GymWrapper(environment, seed=seed, backend=backend)
+    if batch_size <= 0:
+        raise ValueError("`batch_size` should either be None or a positive integer.")
+    return interop.VectorGymWrapper(environment, seed=seed, backend=backend)
