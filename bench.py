@@ -14,6 +14,10 @@ import jax.numpy as jnp
 
 def main():
     from brax_tpu.envs import create
+    from brax_tpu.sim import kernels
+
+    # rollout is the measured path: use the fused Pallas physics kernel
+    kernels.enable(True)
 
     num_envs = 4096
     num_steps = 200

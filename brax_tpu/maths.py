@@ -116,12 +116,48 @@ def euler_to_quat(v: Array) -> Array:
     return jnp.stack([w, x, y, z], axis=-1)
 
 
+def _arctan_poly(t: Array) -> Array:
+    """arctan via odd minimax polynomial (|err| ~ 1e-7 on [-1, 1]); Mosaic
+    has no atan primitive.  |t| > 1 reduces with atan(t) = pi/2 - atan(1/t)."""
+    big = jnp.abs(t) > 1.0
+    tt = jnp.where(big, 1.0 / jnp.where(t == 0, 1.0, t), t)
+    z = tt * tt
+    p = jnp.float32(-0.0040540580)
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * z + jnp.float32(c)
+    r = tt * p
+    half_pi = jnp.float32(jnp.pi / 2)
+    return jnp.where(big, jnp.sign(t) * half_pi - r, r)
+
+
+def arctan2(y: Array, x: Array) -> Array:
+    """jnp.arctan2, with an arctan-based lowering for Pallas kernels.
+
+    Mosaic implements atan but not atan2; inside kernel tracing
+    (sim.lowering.kernel_mode) reconstruct the quadrant explicitly."""
+    from brax_tpu.sim import lowering
+
+    if not lowering.in_kernel_mode():
+        return jnp.arctan2(y, x)
+    safe_x = jnp.where(x == 0, 1.0, x)
+    base = _arctan_poly(y / safe_x)
+    pi = jnp.float32(jnp.pi)
+    out = jnp.where(x > 0, base, base)
+    out = jnp.where((x < 0) & (y >= 0), base + pi, out)
+    out = jnp.where((x < 0) & (y < 0), base - pi, out)
+    out = jnp.where((x == 0) & (y > 0), pi / 2, out)
+    out = jnp.where((x == 0) & (y < 0), -pi / 2, out)
+    out = jnp.where((x == 0) & (y == 0), 0.0, out)
+    return out
+
+
 def quat_to_euler(q: Array) -> Array:
     """Quaternion -> intrinsic x-y'-z'' Euler radians (brax/math.py:80-91)."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    ez = jnp.arctan2(-2 * x * y + 2 * w * z, x * x + w * w - z * z - y * y)
+    ez = arctan2(-2 * x * y + 2 * w * z, x * x + w * w - z * z - y * y)
     ey = safe_arcsin(jnp.clip(2 * x * z + 2 * w * y, -1.0, 1.0))
-    ex = jnp.arctan2(-2 * y * z + 2 * w * x, z * z - y * y - x * x + w * w)
+    ex = arctan2(-2 * y * z + 2 * w * x, z * z - y * y - x * x + w * w)
     return jnp.stack([ex, ey, ez], axis=-1)
 
 
@@ -129,7 +165,7 @@ def quat_to_axis_angle(q: Array):
     """Axis-angle of a quaternion; angle in [-pi, pi] (brax/math.py:94-113)."""
     epsilon = 1e-10
     denom = safe_norm(q[..., 1:])
-    angle = 2.0 * jnp.arctan2(
+    angle = 2.0 * arctan2(
         jnp.sqrt(epsilon + q[..., 1] ** 2 + q[..., 2] ** 2 + q[..., 3] ** 2),
         q[..., 0],
     )
@@ -141,7 +177,7 @@ def quat_to_axis_angle(q: Array):
 
 def signed_angle(axis: Array, ref_p: Array, ref_c: Array) -> Array:
     """Signed angle between two vectors around an axis (brax/math.py:116-127)."""
-    return jnp.arctan2(vdot(jnp.cross(ref_p, ref_c), axis), vdot(ref_p, ref_c))
+    return arctan2(vdot(jnp.cross(ref_p, ref_c), axis), vdot(ref_p, ref_c))
 
 
 def quat_mul(u: Array, v: Array) -> Array:

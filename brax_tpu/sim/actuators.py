@@ -11,10 +11,12 @@ Parity: brax/physics/actuators.py (Angle/Torque) and forces.py
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as onp
 from flax import struct
 
 from brax_tpu import maths
 from brax_tpu.sim import joints as joints_mod
+from brax_tpu.sim import lowering
 from brax_tpu.sim.types import DP, QP, Array, HArray
 
 
@@ -41,7 +43,7 @@ def apply(a: ActuatorGroup, g: joints_mod.JointGroup, qp: QP, act: Array, nb: in
     qp_c = qp.take(sub.child)
 
     act_mask = jnp.asarray(a.act_index.a >= 0, dtype=jnp.float32)
-    act_g = jnp.take(act, jnp.clip(jnp.asarray(a.act_index.a), 0, None), axis=-1) * act_mask
+    act_g = lowering.gather_last(act, onp.clip(a.act_index.a, 0, None)) * act_mask
 
     axes, angles = joints_mod.axis_angle(sub, qp_p, qp_c)  # (na, dof, 3), (na, dof)
     limit_min = sub.limit[..., 0]  # (na, dof)
@@ -73,7 +75,7 @@ def _take_group(g: joints_mod.JointGroup, sel: HArray) -> joints_mod.JointGroup:
     s = sel.a
 
     def tk(x):
-        return None if x is None else jnp.take(x, s, axis=0)
+        return None if x is None else lowering.gather_rows(x, s)
 
     return joints_mod.JointGroup(
         kind=g.kind,
@@ -121,13 +123,13 @@ def force_apply(f: ForceGroup, qp: QP, act: Array, nb: int) -> DP:
     # mode="clip" matches the reference's jumpy.take (jumpy.py:146-152); envs
     # like inverted_pendulum pass a shorter action vector than the force act
     # indices span, relying on clipping (action_size is overridden to 1)
-    force_data = jnp.take(act, jnp.asarray(f.act_index.a), axis=-1, mode="clip")  # (nf, 3)
+    force_data = lowering.gather_last(act, f.act_index.a)  # (nf, 3)
     d = force_data * f.strength[..., None] / f.mass[..., None]
     zeros = jnp.zeros_like(d)
     if f.kind == "thruster":
         dvel, dang = d, zeros
     else:
         dvel, dang = zeros, d
-    vel = jnp.zeros((nb, 3)).at[f.body.a].add(dvel)
-    ang = jnp.zeros((nb, 3)).at[f.body.a].add(dang)
+    vel = lowering.scatter_add_rows(jnp.zeros((nb, 3)), f.body.a, dvel)
+    ang = lowering.scatter_add_rows(jnp.zeros((nb, 3)), f.body.a, dang)
     return DP(vel=vel, ang=ang)

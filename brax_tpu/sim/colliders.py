@@ -24,6 +24,7 @@ from flax import struct
 from brax_tpu import maths
 from brax_tpu.maths import dot1, vdot
 from brax_tpu.sim import geometry
+from brax_tpu.sim import lowering
 from brax_tpu.sim.types import DP, DQ, QP, Array, Contact, HArray
 
 
@@ -325,7 +326,7 @@ def _scatter_average(vals_a, vals_b, com: GroupCommon, nb: int, eps: float):
     idx = onp.concatenate([i for _, i in parts], axis=0)
 
     count = jnp.where(jnp.any(first_flat != 0, axis=-1), 1.0, 0.0)
-    count = jnp.zeros((nb,)).at[idx].add(count)
+    count = lowering.scatter_add_rows(jnp.zeros((nb, 1)), idx, count[:, None])[:, 0]
     denom = (eps + count)[:, None]
 
     outs = []
@@ -334,7 +335,7 @@ def _scatter_average(vals_a, vals_b, com: GroupCommon, nb: int, eps: float):
             [v[k].reshape(-1, v[k].shape[-1]) for v, _ in parts], axis=0
         )
         width = flat.shape[-1]
-        acc = jnp.zeros((nb, width)).at[idx].add(flat)
+        acc = lowering.scatter_add_rows(jnp.zeros((nb, width)), idx, flat)
         outs.append(acc / denom)
     return outs
 

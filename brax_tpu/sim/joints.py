@@ -65,10 +65,12 @@ class JointGroup:
 
 def _scatter_add3(vals_p: Array, vals_c: Array, parent: HArray, child: HArray, nb: int) -> Array:
     """Scatter-adds per-joint parent/child contributions onto bodies."""
+    from brax_tpu.sim import lowering
+
     width = vals_p.shape[-1]
     out = jnp.zeros((nb, width), dtype=vals_p.dtype)
-    out = out.at[parent.a].add(vals_p)
-    out = out.at[child.a].add(vals_c)
+    out = lowering.scatter_add_rows(out, parent.a, vals_p)
+    out = lowering.scatter_add_rows(out, child.a, vals_c)
     return out
 
 

@@ -148,7 +148,9 @@ def _concat_contact_info(contacts) -> Tuple[Array, Array, Array]:
 
 def zero_info(sys: System) -> Info:
     zero = _zero_dp(sys.nb)
-    nc = sys.num_contacts if sys.debug else 0
+    # non-debug placeholder is (1, ...) not (0, ...): zero-sized vectors don't
+    # lower through Mosaic when the step runs inside a Pallas kernel
+    nc = sys.num_contacts if sys.debug else min(sys.num_contacts, 1)
     return Info(
         contact=zero,
         joint=zero,
@@ -160,6 +162,19 @@ def zero_info(sys: System) -> Info:
 
 
 def step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
+    from brax_tpu.sim import kernels
+
+    if kernels.enabled() and not any(
+        isinstance(l, jax.core.Tracer) for l in jax.tree_util.tree_leaves(sys)
+    ):
+        # route through custom_vmap so a whole env batch can dispatch into
+        # the fused Pallas kernel (brax_tpu.sim.kernels); needs a concrete
+        # System (its parameters bake into the kernel as literals)
+        return kernels.custom_step_for(sys)(qp, act)
+    return _raw_step(sys, qp, act)
+
+
+def _raw_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
     if sys.dynamics_mode == "pbd":
         return _pbd_step(sys, qp, act)
     return _spring_step(sys, qp, act)
@@ -235,7 +250,18 @@ def _pbd_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
         return (qp, info), ()
 
     info0 = zero_info(sys)
-    (qp, info), _ = jax.lax.scan(substep, (qp, info0), (), length=sys.substeps // 2, unroll=True)
+    from brax_tpu.sim import lowering
+
+    if lowering.in_kernel_mode():
+        # Mosaic has no scan; unroll in Python
+        carry = (qp, info0)
+        for _ in range(sys.substeps // 2):
+            carry, _ = substep(carry, None)
+        qp, info = carry
+    else:
+        (qp, info), _ = jax.lax.scan(
+            substep, (qp, info0), (), length=sys.substeps // 2, unroll=True
+        )
     return qp, info
 
 
@@ -275,7 +301,15 @@ def _spring_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
         return (qp, info), ()
 
     info0 = zero_info(sys)
-    (qp, info), _ = jax.lax.scan(substep, (qp, info0), (), length=sys.substeps)
+    from brax_tpu.sim import lowering
+
+    if lowering.in_kernel_mode():
+        carry = (qp, info0)
+        for _ in range(sys.substeps):
+            carry, _ = substep(carry, None)
+        qp, info = carry
+    else:
+        (qp, info), _ = jax.lax.scan(substep, (qp, info0), (), length=sys.substeps)
     return qp, info
 
 

@@ -90,13 +90,15 @@ class QP:
 
     def take(self, idx) -> "QP":
         """Gathers per-body state along the body axis."""
+        from brax_tpu.sim import lowering
+
         if isinstance(idx, HArray):
             idx = idx.a
         return QP(
-            pos=jnp.take(self.pos, idx, axis=0, mode="clip"),
-            rot=jnp.take(self.rot, idx, axis=0, mode="clip"),
-            vel=jnp.take(self.vel, idx, axis=0, mode="clip"),
-            ang=jnp.take(self.ang, idx, axis=0, mode="clip"),
+            pos=lowering.gather_rows(self.pos, idx),
+            rot=lowering.gather_rows(self.rot, idx),
+            vel=lowering.gather_rows(self.vel, idx),
+            ang=lowering.gather_rows(self.ang, idx),
         )
 
     def to_world(self, rpos: Array):
