@@ -1,0 +1,350 @@
+"""Scene composition: build one physics system from component descriptions.
+
+    env = create(
+        components=dict(
+            agent1=dict(component='ant', pos=(0, 1, 0)),
+            agent2=dict(component='ant', pos=(0, -1, 0)),
+        ),
+        edges={'agent1__agent2': dict(collide_type='root',
+                                      reward_fns=dict(chase=dict(reward_type='chase')))},
+        agent_groups=dict(agent1=dict(reward_names=('chase__agent1__agent2',)),
+                          agent2=dict(reward_names=('chase__agent1__agent2',))),
+    )
+
+Behavior parity: /root/reference/brax/experimental/composer/composer.py
+(Composer 108-263, ComponentEnv 263-423).  The reference edits protobuf text
+messages; here components are plain dataclass configs, so composition is
+direct data manipulation.
+"""
+
+from __future__ import annotations
+
+import copy
+import itertools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from brax_tpu import maths
+from brax_tpu.envs import base
+from brax_tpu.composer import components as components_lib
+from brax_tpu.composer import observers as observers_lib
+from brax_tpu.composer import reward_functions as rewards_lib
+from brax_tpu.sim import config as cfg
+
+
+def _ns(comp_name: str, name: str) -> str:
+    return f"{comp_name}/{name}"
+
+
+class Composer:
+    """Merges namespaced component configs into one scene Config."""
+
+    def __init__(
+        self,
+        components: Dict[str, Dict[str, Any]],
+        edges: Optional[Dict[str, Dict[str, Any]]] = None,
+        add_ground: bool = True,
+        agent_groups: Optional[Dict[str, Any]] = None,
+        global_options: Optional[Dict[str, Any]] = None,
+    ):
+        components = copy.deepcopy(components)
+        edges = copy.deepcopy(edges or {})
+        global_options = dict(global_options or {})
+        if add_ground:
+            components["ground"] = dict(component="ground")
+
+        self.agent_groups = agent_groups or {}
+
+        # --- load + namespace components ---
+        self.components: Dict[str, dict] = {}
+        merged = cfg.Config(bodies=[], joints=[], actuators=[], forces=[])
+        reward_descs = []  # (name, kind, factory_kwargs, comp names)
+
+        for name in sorted(components):
+            desc = dict(components[name])
+            spec = components_lib.load_component(
+                desc.pop("component"),
+                **desc.pop("component_params", {}),
+            )
+            comp_cfg = copy.deepcopy(spec.config)
+            rename = {}
+            for b in comp_cfg.bodies:
+                rename[b.name] = _ns(name, b.name)
+                b.name = rename[b.name]
+            for j in comp_cfg.joints:
+                j.name = _ns(name, j.name)
+                j.parent = rename[j.parent]
+                j.child = rename[j.child]
+            for a in comp_cfg.actuators:
+                a.name = _ns(name, a.name)
+                a.joint = _ns(name, a.joint)
+            for fo in comp_cfg.forces:
+                fo.name = _ns(name, fo.name)
+                fo.body = rename[fo.body]
+            comp_cfg.collide_include = [
+                (rename[a], rename[b]) for a, b in comp_cfg.collide_include
+            ]
+
+            merged.bodies += comp_cfg.bodies
+            merged.joints += comp_cfg.joints
+            merged.actuators += comp_cfg.actuators
+            merged.forces += comp_cfg.forces
+            merged.collide_include += comp_cfg.collide_include
+            for d in comp_cfg.defaults:
+                for ang in d.angles:
+                    ang.name = _ns(name, ang.name)
+                for qps in d.qps:
+                    qps.name = _ns(name, qps.name)
+                if len(merged.defaults) == 0:
+                    merged.defaults.append(cfg.Defaults())
+                merged.defaults[0].angles += d.angles
+                merged.defaults[0].qps += d.qps
+
+            comp = dict(
+                name=name,
+                root=_ns(name, spec.root),
+                collides=[rename[c] for c in spec.collides],
+                bodies=[b.name for b in comp_cfg.bodies],
+                joints=[j.name for j in comp_cfg.joints],
+                actuators=[a.name for a in comp_cfg.actuators],
+                term_fn=spec.term_fn,
+                observers=list(desc.pop("observers", spec.observers)),
+                pos=jnp.asarray(desc.pop("pos", (0.0, 0.0, 0.0)), jnp.float32),
+                quat=jnp.asarray(desc.pop("quat", (1.0, 0.0, 0.0, 0.0)), jnp.float32),
+                quat_origin=jnp.asarray(
+                    desc.pop("quat_origin", (0.0, 0.0, 0.0)), jnp.float32
+                ),
+                frozen=desc.pop("frozen", False),
+                # source config for dt defaults
+                dt=comp_cfg.dt,
+                substeps=comp_cfg.substeps,
+                friction=comp_cfg.friction,
+                elasticity=comp_cfg.elasticity,
+                gravity=comp_cfg.gravity,
+                angular_damping=comp_cfg.angular_damping,
+                baumgarte_erp=comp_cfg.baumgarte_erp,
+            )
+            if comp["frozen"]:
+                for b in comp_cfg.bodies:
+                    b.frozen = cfg.FrozenAxes(all=True)
+            for rname, rkwargs in sorted(desc.pop("reward_fns", {}).items()):
+                reward_descs.append((f"{rname}__{name}", "component", rkwargs, (name,)))
+            assert not desc, f"unused component kwargs: {desc}"
+            self.components[name] = comp
+
+        # --- edges ---
+        for k1, k2 in itertools.combinations(sorted(self.components), 2):
+            edge_name = f"{k1}__{k2}"
+            v = edges.pop(edge_name, {})
+            c1, c2 = self.components[k1], self.components[k2]
+            collide_type = v.pop("collide_type", "full")
+            if collide_type == "full":
+                merged.collide_include += [
+                    (a, b) for a in c1["collides"] for b in c2["collides"]
+                ]
+            elif collide_type == "root":
+                merged.collide_include += [(c1["root"], c2["root"])]
+            elif collide_type:
+                raise ValueError(f"unknown collide_type {collide_type}")
+            for rname, rkwargs in sorted(v.pop("reward_fns", {}).items()):
+                reward_descs.append(
+                    (f"{rname}__{edge_name}", "edge", rkwargs, (k1, k2))
+                )
+            assert not v, f"unused edge kwargs: {v}"
+        assert not edges, f"unknown edges: {sorted(edges)}"
+
+        # --- global scene params ---
+        ref = next(
+            (c for c in self.components.values() if c["name"] != "ground"),
+            next(iter(self.components.values())),
+        )
+        merged.dt = global_options.get("dt", ref["dt"])
+        merged.substeps = global_options.get("substeps", ref["substeps"])
+        merged.friction = global_options.get("friction", ref["friction"])
+        merged.elasticity = global_options.get("elasticity", ref["elasticity"])
+        merged.gravity = tuple(global_options.get("gravity", ref["gravity"]))
+        merged.angular_damping = global_options.get(
+            "angular_damping", ref["angular_damping"]
+        )
+        merged.baumgarte_erp = global_options.get(
+            "baumgarte_erp", ref["baumgarte_erp"]
+        )
+        merged.dynamics_mode = global_options.get("dynamics_mode", "pbd")
+
+        self.config = merged
+        self.reward_descs = reward_descs
+
+
+class ComponentEnv(base.Env):
+    """An Env over a composed scene: modular obs, rewards, termination."""
+
+    def __init__(self, composer: Composer):
+        super().__init__(config=composer.config)
+        self.composer = composer
+
+        # resolve per-component indices against the built system
+        body_index = self.art.body_index
+        joint_names = [j.name for j in self.art.config.joints]
+        dof_offsets = {}
+        off = 0
+        for j in self.art.config.joints:
+            dof_offsets[j.name] = list(range(off, off + len(j.angle_limits)))
+            off += len(j.angle_limits)
+        act_offsets = {}
+        off = 0
+        for a in self.art.config.actuators:
+            dofs = len(
+                next(j for j in self.art.config.joints if j.name == a.joint).angle_limits
+            )
+            act_offsets[a.name] = list(range(off, off + dofs))
+            off += dofs
+
+        self.component_meta = {}
+        for name, comp in composer.components.items():
+            meta = dict(comp)
+            meta["body_idx"] = [body_index[b] for b in comp["bodies"]]
+            meta["root_idx"] = body_index[comp["root"]]
+            meta["joint_dof_idx"] = [
+                i for j in comp["joints"] for i in dof_offsets[j]
+            ]
+            meta["act_idx"] = [i for a in comp["actuators"] for i in act_offsets[a]]
+            self.component_meta[name] = meta
+
+        # instantiate reward fns
+        self.reward_fns = {}
+        for rname, kind, rkwargs, comps in composer.reward_descs:
+            rkwargs = dict(rkwargs)
+            rtype = rkwargs.pop("reward_type")
+            if kind == "component":
+                fn = rewards_lib.COMPONENT_REWARDS[rtype](
+                    self.component_meta[comps[0]], **rkwargs
+                )
+            else:
+                fn = rewards_lib.EDGE_REWARDS[rtype](
+                    self.component_meta[comps[0]],
+                    self.component_meta[comps[1]],
+                    **rkwargs,
+                )
+            self.reward_fns[rname] = fn
+
+        # multi-agent grouping: per-agent action slices + reward names
+        self.agent_groups = composer.agent_groups
+        self.group_action_shapes = {}
+        for agent, spec in sorted(self.agent_groups.items()):
+            comps = spec.get("action_agents", (agent,))
+            idx = [i for c in comps for i in self.component_meta[c]["act_idx"]]
+            self.group_action_shapes[agent] = dict(
+                indices=idx, size=len(idx),
+                reward_names=tuple(spec.get("reward_names", ())),
+            )
+
+    @property
+    def is_multiagent(self) -> bool:
+        return bool(self.agent_groups)
+
+    @property
+    def agent_names(self):
+        return tuple(sorted(self.agent_groups))
+
+    def reset(self, rng) -> base.State:
+        qpos = self.default_angle()
+        qp = self.default_qp(joint_angle=qpos)
+        qp = self._transform_qp(qp)
+        info = self.sys.info(qp)
+        obs = self._get_obs(qp, info)
+        shape = (len(self.agent_groups),) if self.agent_groups else ()
+        reward = jnp.zeros(shape)
+        done = jnp.zeros(())
+        metrics = {f"reward_{k}": jnp.zeros(()) for k in self.reward_fns}
+        metrics["distance"] = jnp.zeros(())
+        return base.State(qp, obs, reward, done, metrics)
+
+    def step(self, state: base.State, action) -> base.State:
+        qp, info = self.sys.step(state.qp, action)
+        obs = self._get_obs(qp, info)
+
+        rewards = {
+            name: fn(self, qp, state.qp, action)
+            for name, fn in self.reward_fns.items()
+        }
+        if self.agent_groups:
+            per_agent = []
+            for agent in self.agent_names:
+                names = self.group_action_shapes[agent]["reward_names"]
+                vals = [rewards[n] for n in names] or [jnp.zeros(())]
+                per_agent.append(sum(vals))
+            reward = jnp.stack(per_agent)
+        else:
+            reward = sum(rewards.values()) if rewards else jnp.zeros(())
+
+        done = jnp.zeros(())
+        for name, meta in self.component_meta.items():
+            if meta["term_fn"] is not None:
+                done = meta["term_fn"](done, qp, meta["root_idx"])
+
+        state.metrics.update({f"reward_{k}": v for k, v in rewards.items()})
+        return state.replace(qp=qp, obs=obs, reward=reward, done=done)
+
+    def _transform_qp(self, qp):
+        """Applies each component's pos/quat placement (sim_utils.transform_qp)."""
+        import numpy as onp
+
+        pos, rot = qp.pos, qp.rot
+        for name, meta in self.component_meta.items():
+            # static skip: decided from concrete numpy values at build time
+            if (
+                onp.abs(onp.asarray(meta["pos"])).sum() == 0.0
+                and float(onp.asarray(meta["quat"])[0]) == 1.0
+            ):
+                continue
+            idx = jnp.array(meta["body_idx"])
+            p = pos[idx]
+            p = maths.rotate(p - meta["quat_origin"], meta["quat"]) + meta["quat_origin"]
+            p = p + meta["pos"]
+            r = maths.quat_mul(meta["quat"], rot[idx])
+            pos = pos.at[idx].set(p)
+            rot = rot.at[idx].set(r)
+        return qp.replace(pos=pos, rot=rot)
+
+    def _get_obs(self, qp, info):
+        entries = []
+        for name in sorted(self.component_meta):
+            entries += observers_lib.component_obs(
+                self, self.component_meta[name], qp, info
+            )
+        self.observer_shapes = {k: v.shape for k, v in entries}
+        return jnp.concatenate([v for _, v in entries]) if entries else jnp.zeros((0,))
+
+
+def create(
+    components: Dict[str, Dict[str, Any]],
+    edges: Optional[Dict[str, Dict[str, Any]]] = None,
+    add_ground: bool = True,
+    agent_groups: Optional[Dict[str, Any]] = None,
+    global_options: Optional[Dict[str, Any]] = None,
+    episode_length: Optional[int] = 1000,
+    action_repeat: int = 1,
+    batch_size: Optional[int] = None,
+    auto_reset: bool = True,
+) -> base.Env:
+    """Builds a composed environment with the standard wrapper stack."""
+    from brax_tpu.envs import wrappers
+
+    env = ComponentEnv(
+        Composer(
+            components,
+            edges=edges,
+            add_ground=add_ground,
+            agent_groups=agent_groups,
+            global_options=global_options,
+        )
+    )
+    if episode_length is not None:
+        env = wrappers.EpisodeWrapper(env, episode_length, action_repeat)
+    if batch_size:
+        env = wrappers.VmapWrapper(env, batch_size)
+    if auto_reset:
+        env = wrappers.AutoResetWrapper(env)
+    return env

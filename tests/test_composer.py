@@ -1,0 +1,120 @@
+"""Composer: scene composition, multi-agent grouping, sharded batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from brax_tpu import composer
+
+
+def _two_ant_chase(batch_size=None, episode_length=50):
+    return composer.create(
+        components=dict(
+            agent1=dict(
+                component="ant",
+                pos=(0.0, 2.0, 0.0),
+                reward_fns=dict(fwd=dict(reward_type="forward_velocity")),
+            ),
+            agent2=dict(component="ant", pos=(0.0, -2.0, 0.0)),
+        ),
+        edges={
+            "agent1__agent2": dict(
+                collide_type="root",
+                reward_fns=dict(chase=dict(reward_type="chase")),
+            )
+        },
+        agent_groups=dict(
+            agent1=dict(
+                action_agents=("agent1",),
+                reward_names=("chase__agent1__agent2", "fwd__agent1"),
+            ),
+            agent2=dict(
+                action_agents=("agent2",),
+                reward_names=("chase__agent1__agent2",),
+            ),
+        ),
+        episode_length=episode_length,
+        batch_size=batch_size,
+        auto_reset=True,
+    )
+
+
+def test_two_ant_multiagent():
+    env = _two_ant_chase(batch_size=4)
+    assert env.is_multiagent
+    assert env.agent_names == ("agent1", "agent2")
+    assert env.action_size == 16
+    assert env.group_action_shapes["agent1"]["size"] == 8
+
+    state = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 4))
+    assert state.reward.shape == (4, 2)  # per-agent reward vector
+    step = jax.jit(env.step)
+    for i in range(3):
+        act = jax.random.uniform(
+            jax.random.PRNGKey(i), (4, 16), minval=-1, maxval=1
+        )
+        state = step(state, act)
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+
+    # the two ants are distinct bodies placed apart
+    m = env.unwrapped.component_meta
+    sep = jnp.linalg.norm(
+        state.qp.pos[0, m["agent1"]["root_idx"]]
+        - state.qp.pos[0, m["agent2"]["root_idx"]]
+    )
+    assert float(sep) > 1.0
+
+
+def test_single_agent_scene_scalar_reward():
+    env = composer.create(
+        components=dict(
+            ant1=dict(
+                component="ant",
+                reward_fns=dict(
+                    fwd=dict(reward_type="forward_velocity"),
+                    ctrl=dict(reward_type="ctrl_cost", weight=0.1),
+                ),
+            ),
+            ball=dict(component="ball", pos=(2.0, 0.0, 1.0)),
+        ),
+        episode_length=20,
+        batch_size=None,
+        auto_reset=False,
+    )
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert s.reward.shape == ()
+    s = jax.jit(env.step)(s, jnp.zeros(env.action_size))
+    assert bool(jnp.isfinite(s.reward))
+    assert "reward_fwd__ant1" in s.metrics
+
+
+def test_composed_scene_shards_over_mesh():
+    """BASELINE config 5 shape: a multi-agent composed scene sharded over the
+    (virtual) device mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from brax_tpu.training import mesh_utils
+
+    mesh = mesh_utils.create_mesh()
+    n = 2 * mesh.size
+    env = _two_ant_chase(batch_size=n, episode_length=10)
+
+    reset_fn = jax.jit(env.reset, out_shardings=mesh_utils.env_sharded(mesh))
+    state = reset_fn(
+        mesh_utils.put_env_sharded(jax.random.split(jax.random.PRNGKey(0), n), mesh)
+    )
+
+    def rollout(state):
+        def body(s, _):
+            return env.step(s, jnp.zeros((s.obs.shape[0], 16))), ()
+        return jax.lax.scan(body, state, (), length=5)[0]
+
+    rollout_sharded = jax.jit(
+        mesh_utils.shard_map(
+            rollout, mesh, in_specs=(P(mesh_utils.AXIS),), out_specs=P(mesh_utils.AXIS)
+        )
+    )
+    out = rollout_sharded(state)
+    assert bool(jnp.all(jnp.isfinite(out.obs)))
+    assert out.obs.shape[0] == n
