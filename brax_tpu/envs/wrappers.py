@@ -116,10 +116,12 @@ class EvalWrapper(base.Wrapper):
     def reset(self, rng) -> base.State:
         reset_state = self.env.reset(rng)
         reset_state.metrics["reward"] = reset_state.reward
+        # keyed on done (scalar per env) so vector rewards (multi-agent
+        # composer envs) aggregate correctly
         eval_metrics = EvalMetrics(
             episode_metrics=jax.tree_util.tree_map(jnp.zeros_like, reset_state.metrics),
-            active_episodes=jnp.ones_like(reset_state.reward),
-            episode_steps=jnp.zeros_like(reset_state.reward),
+            active_episodes=jnp.ones_like(reset_state.done),
+            episode_steps=jnp.zeros_like(reset_state.done),
         )
         reset_state.info["eval_metrics"] = eval_metrics
         return reset_state
@@ -136,10 +138,13 @@ class EvalWrapper(base.Wrapper):
             nstate.info["steps"],
             state_metrics.episode_steps,
         )
+        def accumulate(a, b):
+            active = state_metrics.active_episodes
+            active = active.reshape(active.shape + (1,) * (b.ndim - active.ndim))
+            return a + b * active
+
         episode_metrics = jax.tree_util.tree_map(
-            lambda a, b: a + b * state_metrics.active_episodes,
-            state_metrics.episode_metrics,
-            nstate.metrics,
+            accumulate, state_metrics.episode_metrics, nstate.metrics
         )
         active_episodes = state_metrics.active_episodes * (1 - nstate.done)
         nstate.info["eval_metrics"] = EvalMetrics(

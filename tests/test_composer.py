@@ -118,3 +118,28 @@ def test_composed_scene_shards_over_mesh():
     out = rollout_sharded(state)
     assert bool(jnp.all(jnp.isfinite(out.obs)))
     assert out.obs.shape[0] == n
+
+
+def test_mappo_trains_two_ant_chase():
+    from brax_tpu.composer.training import mappo
+
+    env = _two_ant_chase(batch_size=None, episode_length=None)
+    make_policy, params, metrics = mappo.train(
+        env.unwrapped,
+        num_timesteps=2048,
+        episode_length=32,
+        num_envs=16,
+        num_eval_envs=8,
+        unroll_length=4,
+        batch_size=16,
+        num_minibatches=2,
+        num_updates_per_batch=1,
+        num_evals=2,
+        normalize_observations=True,
+    )
+    assert "eval/episode_reward" in metrics
+    # joint policy emits the full action vector
+    policy = make_policy(params, deterministic=True)
+    obs = jnp.zeros((env.unwrapped.observation_size,))
+    act, _ = policy(obs, jax.random.PRNGKey(0))
+    assert act.shape == (16,)
