@@ -40,6 +40,9 @@ class TrainingState:
     params: ppo_losses.PPONetworkParams
     normalizer_params: running_statistics.RunningStatisticsState
     env_steps: jnp.ndarray
+    # optional auxiliary learner (e.g. braxlines discriminators)
+    extra_params: Optional[Params] = None
+    extra_optimizer_state: Optional[optax.OptState] = None
 
 
 def train(
@@ -68,8 +71,18 @@ def train(
     normalize_advantage: bool = True,
     eval_env: Optional[envs.Env] = None,
     mesh=None,
+    extra_params: Optional[Params] = None,
+    extra_loss_fn=None,
+    extra_learning_rate: float = 3e-4,
+    reward_relabel_fn=None,
 ):
-    """PPO training; returns (make_policy, params, metrics)."""
+    """PPO training; returns (make_policy, params, metrics).
+
+    Auxiliary-learner hooks (used by brax_tpu.braxlines): `extra_params` are
+    trained each step by `extra_loss_fn(extra_params, transitions, rng)`
+    (pmean-synced), and `reward_relabel_fn(extra_params, transitions) ->
+    rewards` replaces batch rewards before the PPO update (how discriminator
+    rewards reach the policy without env recompilation)."""
     assert batch_size * num_minibatches % num_envs == 0
     xt = time.time()
 
@@ -113,6 +126,13 @@ def train(
     gradient_update_fn = gradients.gradient_update_fn(
         loss_fn, optimizer, pmap_axis_name=AXIS, has_aux=True
     )
+
+    extra_optimizer = optax.adam(learning_rate=extra_learning_rate)
+    extra_update_fn = None
+    if extra_loss_fn is not None:
+        extra_update_fn = gradients.gradient_update_fn(
+            extra_loss_fn, extra_optimizer, pmap_axis_name=AXIS, has_aux=False
+        )
 
     def minibatch_step(carry, data: types.Transition, normalizer_params):
         optimizer_state, params, key = carry
@@ -180,6 +200,21 @@ def train(
             pmap_axis_name=AXIS,
         )
 
+        new_extra_params = training_state.extra_params
+        new_extra_opt_state = training_state.extra_optimizer_state
+        if extra_update_fn is not None:
+            key_extra, key_sgd = jax.random.split(key_sgd)
+            _, new_extra_params, new_extra_opt_state = extra_update_fn(
+                training_state.extra_params,
+                data,
+                key_extra,
+                optimizer_state=training_state.extra_optimizer_state,
+            )
+        if reward_relabel_fn is not None:
+            data = data._replace(
+                reward=reward_relabel_fn(new_extra_params, data)
+            )
+
         (optimizer_state, params, _), metrics = jax.lax.scan(
             functools.partial(sgd_step, data=data, normalizer_params=normalizer_params),
             (training_state.optimizer_state, training_state.params, key_sgd),
@@ -192,6 +227,8 @@ def train(
             params=params,
             normalizer_params=normalizer_params,
             env_steps=training_state.env_steps + env_step_per_training_step,
+            extra_params=new_extra_params,
+            extra_optimizer_state=new_extra_opt_state,
         )
         return (new_training_state, state, new_key), metrics
 
@@ -257,6 +294,10 @@ def train(
             running_statistics.ArraySpec((env.observation_size,), jnp.float32)
         ),
         env_steps=jnp.zeros(()),
+        extra_params=extra_params,
+        extra_optimizer_state=(
+            extra_optimizer.init(extra_params) if extra_loss_fn is not None else None
+        ),
     )
     training_state = mesh_utils.put_replicated(training_state, mesh)
 
@@ -312,5 +353,7 @@ def train(
     assert total_steps >= num_timesteps
 
     params = (training_state.normalizer_params, training_state.params.policy)
+    if extra_loss_fn is not None:
+        params = params + (training_state.extra_params,)
     mesh_utils.synchronize_hosts()
     return (make_policy, params, metrics)
