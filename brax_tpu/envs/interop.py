@@ -15,14 +15,29 @@ import numpy as onp
 
 from brax_tpu.envs import base
 
-try:  # classic gym if present, else gymnasium's compatible API
-    import gym
-    from gym import spaces
-    from gym.vector import utils as gym_vector_utils
-except ImportError:  # pragma: no cover
-    import gymnasium as gym
-    from gymnasium import spaces
-    from gymnasium.vector import utils as gym_vector_utils
+def _import_gym():
+    """Classic gym if a REAL install is present, else gymnasium.
+
+    (Guards against stub `gym` modules that test shims may have planted in
+    sys.modules for the reference snapshot's sake.)"""
+    try:
+        import gym as _gym
+
+        if isinstance(getattr(_gym, "Env", None), type) and _gym.Env is not object:
+            from gym import spaces as _spaces
+            from gym.vector import utils as _utils
+
+            return _gym, _spaces, _utils
+    except ImportError:
+        pass
+    import gymnasium as _gym
+    from gymnasium import spaces as _spaces
+    from gymnasium.vector import utils as _utils
+
+    return _gym, _spaces, _utils
+
+
+gym, spaces, gym_vector_utils = _import_gym()
 
 
 class GymWrapper(gym.Env):

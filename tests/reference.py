@@ -14,6 +14,15 @@ AVAILABLE = False
 
 
 def _mod(name, **attrs):
+    """Installs a stub module ONLY if the real one isn't importable (a real
+    dm_env/gymnasium must keep working for the interop tests that share the
+    pytest process)."""
+    try:
+        import importlib
+
+        return importlib.import_module(name)
+    except Exception:  # noqa: BLE001
+        pass
     m = types.ModuleType(name)
     for k, v in attrs.items():
         setattr(m, k, v)
