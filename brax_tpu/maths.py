@@ -221,6 +221,119 @@ def normalize(v: Array, epsilon: float = 1e-6) -> Array:
     return v / (epsilon + safe_norm(v)[..., None])
 
 
+def normalize_with_norm(x: Array, axis: int = -1):
+    """Returns (x normalized, norm), zero-safe (reference v2/math.py:306-322).
+
+    The epsilon is only added where the norm is exactly zero, so unit vectors
+    pass through bit-exact.
+    """
+    n = safe_norm(x, axis=axis)
+    normed = x / jnp.expand_dims(n + 1e-6 * (n == 0.0), axis)
+    return normed, n
+
+
+def from_to(v1: Array, v2: Array) -> Array:
+    """Quaternion rotating unit vector v1 onto unit vector v2.
+
+    Parity: reference brax/v2/math.py:323-336, broadcast over leading axes.
+    """
+    w = 1.0 + vdot(v1, v2)[..., None]
+    rot = jnp.concatenate([w, jnp.cross(v1, v2)], axis=-1)
+    # antiparallel fallback: rotate pi about any axis orthogonal to v1
+    x = jnp.array([1.0, 0.0, 0.0])
+    y = jnp.array([0.0, 1.0, 0.0])
+    near_x = (jnp.abs(vdot(v1, jnp.broadcast_to(x, v1.shape))) > 0.99)[..., None]
+    rot_axis = jnp.where(near_x, jnp.cross(v1, y), jnp.cross(v1, x))
+    flip = quat_rot_axis(rot_axis, jnp.full(v1.shape[:-1], jnp.pi))
+    rot = jnp.where(rot[..., 0:1] < 1e-6, flip, rot)
+    return rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+
+
+def quat_from_3x3(m: Array) -> Array:
+    """Rotation matrix (..., 3, 3) -> quaternion (reference v2/math.py:119-126)."""
+    w = jnp.sqrt(1 + m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]) / 2.0
+    x = (m[..., 2, 1] - m[..., 1, 2]) / (w * 4)
+    y = (m[..., 0, 2] - m[..., 2, 0]) / (w * 4)
+    z = (m[..., 1, 0] - m[..., 0, 1]) / (w * 4)
+    return jnp.stack([w, x, y, z], axis=-1)
+
+
+def inv_3x3(m: Array) -> Array:
+    """Adjugate-based 3x3 inverse, batched (reference v2/math.py:184-204)."""
+    det = jnp.linalg.det(m)
+    c = lambda i, j, k, l: m[..., i, j] * m[..., k, l]
+    adj = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    c(1, 1, 2, 2) - c(1, 2, 2, 1),
+                    c(0, 2, 2, 1) - c(0, 1, 2, 2),
+                    c(0, 1, 1, 2) - c(0, 2, 1, 1),
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    c(1, 2, 2, 0) - c(1, 0, 2, 2),
+                    c(0, 0, 2, 2) - c(0, 2, 2, 0),
+                    c(0, 2, 1, 0) - c(0, 0, 1, 2),
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    c(1, 0, 2, 1) - c(1, 1, 2, 0),
+                    c(0, 1, 2, 0) - c(0, 0, 2, 1),
+                    c(0, 0, 1, 1) - c(0, 1, 1, 0),
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+    return adj / (det[..., None, None] + 1e-10)
+
+
+def orthogonals(n: Array):
+    """Two orthogonal in-plane vectors for plane normal n (v2/math.py:207-222)."""
+    n_sqr = n[..., 2] * n[..., 2]
+    a = n[..., 1] * n[..., 1] + jnp.where(n_sqr > 0.5, n_sqr, n[..., 0] * n[..., 0])
+    k = jnp.sqrt(a)
+    zero = jnp.zeros_like(k)
+    p_gt = jnp.stack([zero, -n[..., 2], n[..., 1]], axis=-1)
+    p_lt = jnp.stack([-n[..., 1], n[..., 0], n[..., 1]], axis=-1)
+    p = jnp.where((a > 0.5)[..., None], p_gt, p_lt) * k[..., None]
+    q_gt = jnp.stack([a * k, -n[..., 0] * p[..., 2], n[..., 0] * p[..., 1]], axis=-1)
+    q_lt = jnp.stack([-n[..., 2] * p[..., 1], n[..., 2] * p[..., 0], a * k], axis=-1)
+    q = jnp.where((a > 0.5)[..., None], q_gt, q_lt)
+    return p, q
+
+
+def inv_approximate(
+    a: Array, a_inv: Array, tol: float = 1e-12, maxiter: int = 10
+) -> Array:
+    """Newton-Schulz iterative matrix inverse (reference v2/math.py:247-280).
+
+    Warm-started from a_inv (e.g. last step's inverse); falls back to a safe
+    scaled-transpose start when the residual is too large to converge.
+    """
+
+    def body_fn(carry, _):
+        cur, err = carry
+        nxt = 2 * cur - cur @ a.T @ cur
+        nxt_err = jnp.linalg.norm(nxt - cur)
+        # freeze once converged; fixed trip count keeps reverse-mode autodiff
+        # working (lax.while_loop is not reverse-differentiable)
+        cur = jnp.where(err > tol, nxt, cur)
+        err = jnp.where(err > tol, nxt_err, err)
+        return (cur, err), None
+
+    r0 = jnp.eye(a.shape[-1]) - a @ a_inv
+    a_inv = jnp.where(jnp.linalg.norm(r0) > 1, 0.5 * a.T / jnp.trace(a @ a.T), a_inv)
+    (a_inv, _), _ = jax.lax.scan(body_fn, (a_inv, jnp.ones(())), None, length=maxiter)
+    return a_inv
+
+
 def quat_to_3x3(q: Array) -> Array:
     """Quaternion -> rotation matrix (..., 3, 3)."""
     d = vdot(q, q)

@@ -69,7 +69,13 @@ class Evaluator:
         self._key = key
         self._eval_walltime = 0.0
 
-        eval_env = wrappers.EvalWrapper(eval_env)
+        from brax_tpu.v2.envs import env as v2_env_mod
+        from brax_tpu.v2.envs import wrappers as v2_wrappers
+
+        if isinstance(eval_env, v2_env_mod.Env):
+            eval_env = v2_wrappers.EvalWrapper(eval_env)
+        else:
+            eval_env = wrappers.EvalWrapper(eval_env)
 
         def generate_eval_unroll(policy_params: PolicyParams, key: PRNGKey) -> envs.State:
             reset_keys = jax.random.split(key, num_eval_envs)

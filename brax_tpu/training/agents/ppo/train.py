@@ -98,7 +98,17 @@ def train(
         -num_timesteps // (num_evals_after_init * env_step_per_training_step)
     )
 
-    env = wrappers.wrap_for_training(
+    # v2 (generalized-coordinate) envs use their own wrapper stack; same
+    # trainer otherwise (reference v2/training/agents/ppo/train.py:105-110)
+    from brax_tpu.v2.envs import env as v2_env_mod
+    from brax_tpu.v2.envs import wrappers as v2_wrappers
+
+    _wrap = (
+        v2_wrappers.wrap_for_training
+        if isinstance(environment, v2_env_mod.Env)
+        else wrappers.wrap_for_training
+    )
+    env = _wrap(
         environment, episode_length=episode_length, action_repeat=action_repeat
     )
 
@@ -310,7 +320,7 @@ def train(
     if not eval_env:
         eval_env = env
     else:
-        eval_env = wrappers.wrap_for_training(
+        eval_env = _wrap(
             eval_env, episode_length=episode_length, action_repeat=action_repeat
         )
 

@@ -1,0 +1,210 @@
+"""Programmatic MJCF scene builders for the v2 environment suite.
+
+Scenes are emitted as MJCF strings from compact Python descriptions instead
+of shipping XML files: the geometry/joint content matches the classic MuJoCo
+tasks (reference brax/v2/envs/assets/*.xml) while staying data-as-code, and
+doubles as a test of the native MJCF compiler's authoring path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List
+
+
+def ant_xml() -> str:
+    """Quadruped: free torso + 4 legs x (hip, ankle) hinges, foot spheres."""
+    # per leg: (name suffix, xy direction sign pair, ankle range)
+    legs = [
+        ("1", (1, 1), "30 70"),
+        ("2", (-1, 1), "-70 -30"),
+        ("3", (-1, -1), "-70 -30"),
+        ("4", (1, -1), "30 70"),
+    ]
+    body = []
+    feet = []
+    for i, (sfx, (sx, sy), ankle_range) in enumerate(legs):
+        dx, dy = 0.2 * sx, 0.2 * sy
+        ax, ay = 0.4 * sx, 0.4 * sy
+        # hinge axis perpendicular to the leg direction, in-plane
+        ankle_axis = f"{-sy} {sx} 0"
+        feet.append(f"foot_{sfx}_geom")
+        body.append(
+            f"""
+      <body name="leg_{sfx}" pos="0 0 0">
+        <geom fromto="0 0 0 {dx} {dy} 0" name="aux_{sfx}_geom" size="0.08" type="capsule"/>
+        <body name="aux_{sfx}" pos="{dx} {dy} 0">
+          <joint axis="0 0 1" name="hip_{sfx}" pos="0 0 0" range="-30 30" type="hinge"/>
+          <geom fromto="0 0 0 {dx} {dy} 0" name="leg_{sfx}_geom" size="0.08" type="capsule"/>
+          <body pos="{dx} {dy} 0" name="lower_{sfx}">
+            <joint axis="{ankle_axis}" name="ankle_{sfx}" pos="0 0 0" range="{ankle_range}" type="hinge"/>
+            <geom fromto="0 0 0 {ax} {ay} 0" name="ankle_{sfx}_geom" size="0.08" type="capsule"/>
+            <geom name="foot_{sfx}_geom" pos="{ax} {ay} 0" size="0.08" type="sphere" mass="0"/>
+          </body>
+        </body>
+      </body>"""
+        )
+
+    motors = "\n".join(
+        f'    <motor ctrllimited="true" ctrlrange="-1.0 1.0" joint="{j}_{s}" gear="150"/>'
+        for s, _, _ in legs
+        for j in ("hip", "ankle")
+    )
+    pairs = "\n".join(
+        f'    <pair geom1="floor" geom2="{f}"/>' for f in feet
+    )
+    init_q = "0.0 0.0 0.55 1.0 0.0 0.0 0.0 0.0 1.0 0.0 -1.0 0.0 -1.0 0.0 1.0"
+    return f"""
+<mujoco model="ant">
+  <compiler angle="degree" inertiafromgeom="true"/>
+  <option timestep="0.01" collision="predefined" iterations="4"/>
+  <custom>
+    <numeric data="{init_q}" name="init_qpos"/>
+  </custom>
+  <default>
+    <joint armature="1" damping="1" limited="true"/>
+    <geom density="5.0" friction="1 0.5 0.5"/>
+  </default>
+  <worldbody>
+    <geom name="floor" pos="0 0 0" size="40 40 40" type="plane"/>
+    <body name="torso" pos="0 0 0.75">
+      <geom name="torso_geom" pos="0 0 0" size="0.25" type="sphere"/>
+      <joint armature="0" damping="0" limited="false" name="root" pos="0 0 0" type="free"/>
+      {''.join(body)}
+    </body>
+  </worldbody>
+  <actuator>
+{motors}
+  </actuator>
+  <contact>
+{pairs}
+  </contact>
+</mujoco>
+"""
+
+
+def inverted_pendulum_xml() -> str:
+    """Cart (slide) + pole (hinge)."""
+    return """
+<mujoco model="inverted pendulum">
+  <compiler angle="radian" inertiafromgeom="true"/>
+  <option gravity="0 0 -9.81" timestep="0.02" iterations="4" collision="predefined"/>
+  <default>
+    <joint armature="0" damping="1" limited="true"/>
+    <geom friction="1 0.1 0.1"/>
+  </default>
+  <worldbody>
+    <body name="cart" pos="0 0 0">
+      <joint axis="1 0 0" limited="true" name="slider" pos="0 0 0" range="-1 1" type="slide"/>
+      <geom name="cart_geom" fromto="-0.1 0 0 0.1 0 0" size="0.1" type="capsule"/>
+      <body name="pole" pos="0 0 0">
+        <joint axis="0 1 0" name="hinge" pos="0 0 0" range="-0.2 0.2" type="hinge"/>
+        <geom fromto="0 0 0 0.001 0 0.6" name="pole_geom" size="0.049" type="capsule"/>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor ctrllimited="true" ctrlrange="-3 3" gear="100" joint="slider"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def inverted_double_pendulum_xml() -> str:
+    """Cart + two stacked poles."""
+    return """
+<mujoco model="inverted double pendulum">
+  <compiler angle="radian" inertiafromgeom="true"/>
+  <option gravity="0 0 -9.81" timestep="0.01" iterations="4" collision="predefined"/>
+  <default>
+    <joint armature="0" damping="0.05" limited="false"/>
+    <geom friction="1 0.1 0.1"/>
+  </default>
+  <worldbody>
+    <body name="cart" pos="0 0 0">
+      <joint axis="1 0 0" limited="true" name="slider" pos="0 0 0" range="-1 1" type="slide"/>
+      <geom name="cart_geom" fromto="-0.1 0 0 0.1 0 0" size="0.1" type="capsule"/>
+      <body name="pole" pos="0 0 0">
+        <joint axis="0 1 0" name="hinge" pos="0 0 0" type="hinge"/>
+        <geom fromto="0 0 0 0 0 0.6" name="pole_geom" size="0.049" type="capsule"/>
+        <body name="pole2" pos="0 0 0.6">
+          <joint axis="0 1 0" name="hinge2" pos="0 0 0" type="hinge"/>
+          <geom fromto="0 0 0 0 0 0.6" name="pole2_geom" size="0.049" type="capsule"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="500" joint="slider"/>
+  </actuator>
+</mujoco>
+"""
+
+
+def halfcheetah_xml() -> str:
+    """Planar runner: torso + back/front legs (thigh, shin, foot)."""
+    segs = {
+        # name: (fromto, size, joint_axis, range, gear)
+        "bthigh": ("0 0 0 .1 0 -.13", ".046", "0 1 0", "-30 52", 120),
+        "bshin": ("0 0 0 -.14 0 -.07", ".046", "0 1 0", "-44 44", 90),
+        "bfoot": ("0 0 0 .03 0 -.097", ".046", "0 1 0", "-23 45", 60),
+        "fthigh": ("0 0 0 -.07 0 -.12", ".046", "0 1 0", "-57 40", 90),
+        "fshin": ("0 0 0 .065 0 -.09", ".046", "0 1 0", "-68 49", 60),
+        "ffoot": ("0 0 0 .045 0 -.07", ".046", "0 1 0", "-28 28", 30),
+    }
+    return f"""
+<mujoco model="halfcheetah">
+  <compiler angle="degree" inertiafromgeom="true"/>
+  <option gravity="0 0 -9.81" timestep="0.01" iterations="4" collision="predefined"/>
+  <default>
+    <joint armature=".1" damping=".01" limited="true" stiffness="8"/>
+    <geom friction=".4 .1 .1"/>
+  </default>
+  <worldbody>
+    <geom name="floor" pos="0 0 0" size="40 40 40" type="plane"/>
+    <body name="torso" pos="0 0 .7">
+      <joint armature="0" damping="0" limited="false" name="root" pos="0 0 0" type="free"/>
+      <geom fromto="-.5 0 0 .5 0 0" name="torso_geom" size="0.046" type="capsule"/>
+      <geom name="head" fromto=".5 0 0 .6 0 .1" size="0.046" type="capsule"/>
+      <body name="bthigh" pos="-.5 0 0">
+        <joint axis="{segs['bthigh'][2]}" name="bthigh" pos="0 0 0" range="{segs['bthigh'][3]}" type="hinge"/>
+        <geom fromto="{segs['bthigh'][0]}" name="bthigh_geom" size="{segs['bthigh'][1]}" type="capsule"/>
+        <body name="bshin" pos=".1 0 -.13">
+          <joint axis="{segs['bshin'][2]}" name="bshin" pos="0 0 0" range="{segs['bshin'][3]}" type="hinge"/>
+          <geom fromto="{segs['bshin'][0]}" name="bshin_geom" size="{segs['bshin'][1]}" type="capsule"/>
+          <body name="bfoot" pos="-.14 0 -.07">
+            <joint axis="{segs['bfoot'][2]}" name="bfoot" pos="0 0 0" range="{segs['bfoot'][3]}" type="hinge"/>
+            <geom fromto="{segs['bfoot'][0]}" name="bfoot_geom" size="{segs['bfoot'][1]}" type="capsule"/>
+          </body>
+        </body>
+      </body>
+      <body name="fthigh" pos=".5 0 0">
+        <joint axis="{segs['fthigh'][2]}" name="fthigh" pos="0 0 0" range="{segs['fthigh'][3]}" type="hinge"/>
+        <geom fromto="{segs['fthigh'][0]}" name="fthigh_geom" size="{segs['fthigh'][1]}" type="capsule"/>
+        <body name="fshin" pos="-.07 0 -.12">
+          <joint axis="{segs['fshin'][2]}" name="fshin" pos="0 0 0" range="{segs['fshin'][3]}" type="hinge"/>
+          <geom fromto="{segs['fshin'][0]}" name="fshin_geom" size="{segs['fshin'][1]}" type="capsule"/>
+          <body name="ffoot" pos=".065 0 -.09">
+            <joint axis="{segs['ffoot'][2]}" name="ffoot" pos="0 0 0" range="{segs['ffoot'][3]}" type="hinge"/>
+            <geom fromto="{segs['ffoot'][0]}" name="ffoot_geom" size="{segs['ffoot'][1]}" type="capsule"/>
+          </body>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="{segs['bthigh'][4]}" joint="bthigh"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="{segs['bshin'][4]}" joint="bshin"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="{segs['bfoot'][4]}" joint="bfoot"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="{segs['fthigh'][4]}" joint="fthigh"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="{segs['fshin'][4]}" joint="fshin"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="{segs['ffoot'][4]}" joint="ffoot"/>
+  </actuator>
+  <contact>
+    <pair geom1="floor" geom2="bfoot_geom"/>
+    <pair geom1="floor" geom2="ffoot_geom"/>
+    <pair geom1="floor" geom2="torso_geom"/>
+    <pair geom1="floor" geom2="head"/>
+  </contact>
+</mujoco>
+"""

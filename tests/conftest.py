@@ -5,9 +5,17 @@ Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, not setdefault: the sandbox presets JAX_PLATFORMS=axon (the remote
+# TPU tunnel), which would silently route every test compile through it
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# persistent compilation cache: the CI box has one CPU core, so cold-compiling
+# the whole suite dominates wall time; warm runs reuse every executable
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
