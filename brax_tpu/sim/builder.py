@@ -131,6 +131,7 @@ def build(config: cfg.Config) -> Tuple[System, BuildArtifacts]:
         substeps=int(config.substeps),
         dynamics_mode=config.dynamics_mode,
         num_contacts=num_contacts,
+        collider_cutoff=int(config.collider_cutoff),
         mass=_f32(mass),
         inv_inertia=_f32(inv_inertia),
         active=_f32(active),
@@ -530,6 +531,8 @@ def _group_contact_count(g) -> int:
         return g.vertices.shape[0] * g.vertices.shape[1]
     if isinstance(g, colliders_mod.CapsuleMesh):
         return g.faces.shape[0] * g.faces.shape[1]
+    if isinstance(g, colliders_mod.HullHull):
+        return g.vert_a.shape[0] * 4  # 4-point SAT manifold per pair
     raise ValueError(f"unknown contact group type: {type(g)}")
 
 
@@ -657,10 +660,33 @@ def _make_contact_group(type_a, type_b, sel, b_is_frozen, body_index, mass,
         )
 
     if (type_a, type_b) == ("box", "box"):
-        # SAT hull-hull: not yet implemented (reference colliders.py:851-888).
-        import warnings
+        # SAT hull-hull with quad faces (reference colliders.py:851-888)
+        def hull_parts(colz):
+            from brax_tpu.v2.geometry import mesh as v2_mesh
 
-        warnings.warn("box-box (hull-hull) contacts not yet implemented; skipping")
-        return None
+            verts, faces, norms, edges = [], [], [], []
+            for c in colz:
+                v = _box_corners(c)  # offset + rotation baked into vertices
+                f_idx = v2_mesh._BOX_FACES
+                f = v[f_idx]
+                n = onp.cross(f[:, 1] - f[:, 0], f[:, -1] - f[:, 0])
+                n = n / onp.linalg.norm(n, axis=1, keepdims=True)
+                e_idx = v2_mesh.get_unique_edges(v, f_idx)
+                verts.append(v)
+                faces.append(f)
+                norms.append(n)
+                edges.append(v[e_idx])
+            return (
+                onp.stack(verts), onp.stack(faces),
+                onp.stack(norms), onp.stack(edges),
+            )
+
+        va, fa, na, ea = hull_parts(cas)
+        vb, fb, nb, eb = hull_parts(cbs)
+        return colliders_mod.HullHull(
+            com=com,
+            vert_a=_f32(va), face_a=_f32(fa), norm_a=_f32(na), edge_a=_f32(ea),
+            vert_b=_f32(vb), face_b=_f32(fb), norm_b=_f32(nb), edge_b=_f32(eb),
+        )
 
     raise ValueError(f"unsupported contact pair: {type_a}-{type_b}")

@@ -51,6 +51,10 @@ class GroupCommon:
     inertia_a: Array = None  # (np, 3) inverse inertia diag
     mass_b: Array = None
     inertia_b: Array = None
+    # set by cull_nearest: traced per-step pair selection overriding the
+    # static body index tables (reference NearNeighbors, colliders.py:56-89)
+    body_a_dyn: Optional[Array] = None
+    body_b_dyn: Optional[Array] = None
 
 
 @struct.dataclass
@@ -286,6 +290,54 @@ class CapsuleClippedPlane:
         return Contact(pos, vel, normal, penetration)
 
 
+@struct.dataclass
+class HullHull:
+    """Convex hull vs convex hull via SAT with a 4-point manifold.
+
+    Covers box-box (reference colliders.py:851-888 / geometry.py:769-841).
+    The separating-axis test itself is shared with the v2 engine
+    (brax_tpu.v2.geometry.math.sat_hull_hull); hull data is body-local and
+    moved to world per step.
+    """
+
+    com: GroupCommon
+    vert_a: Array = None  # (np, nv, 3) body-local (collider offset baked in)
+    face_a: Array = None  # (np, nf, fv, 3)
+    norm_a: Array = None  # (np, nf, 3)
+    edge_a: Array = None  # (np, ne, 2, 3) unique edge endpoints
+    vert_b: Array = None
+    face_b: Array = None
+    norm_b: Array = None
+    edge_b: Array = None
+
+    def contact(self, qp_a: QP, qp_b: QP) -> Contact:
+        from brax_tpu.v2.geometry import math as v2_geom_math
+
+        def one(qp_a, qp_b, vert_a, face_a, norm_a, edge_a,
+                vert_b, face_b, norm_b, edge_b):
+            def to_world(qp, vert, face, norm, edge):
+                vert = qp.pos + maths.rotate(vert, qp.rot[None])
+                face = qp.pos + maths.rotate(face, qp.rot[None, None])
+                norm = maths.rotate(norm, qp.rot[None])
+                edge = qp.pos + maths.rotate(edge, qp.rot[None, None])
+                return vert, face, norm, edge
+
+            va, fa, na, ea = to_world(qp_a, vert_a, face_a, norm_a, edge_a)
+            vb, fb, nb, eb = to_world(qp_b, vert_b, face_b, norm_b, edge_b)
+            c = v2_geom_math.sat_hull_hull(fa, fb, va, vb, na, nb, ea, eb)
+            vel = (
+                qp_a.vel + jnp.cross(qp_a.ang, c.pos - qp_a.pos)
+                - (qp_b.vel + jnp.cross(qp_b.ang, c.pos - qp_b.pos))
+            )
+            return c.pos, vel, c.normal, c.penetration
+
+        pos, vel, normal, penetration = jax.vmap(one)(
+            qp_a, qp_b, self.vert_a, self.face_a, self.norm_a, self.edge_a,
+            self.vert_b, self.face_b, self.norm_b, self.edge_b,
+        )
+        return Contact(pos, vel, normal, penetration)
+
+
 GROUP_TYPES = (
     CapsulePlane,
     CapsuleCapsule,
@@ -294,10 +346,13 @@ GROUP_TYPES = (
     CapsuleMesh,
     BoxHeightMap,
     CapsuleClippedPlane,
+    HullHull,
 )
 
 
 def _gather_qp(qp: QP, com: GroupCommon) -> Tuple[QP, QP]:
+    if com.body_a_dyn is not None:
+        return qp.take(com.body_a_dyn), qp.take(com.body_b_dyn)
     return qp.take(com.body_a), qp.take(com.body_b)
 
 
@@ -314,19 +369,29 @@ def _scatter_average(vals_a, vals_b, com: GroupCommon, nb: int, eps: float):
     contacts in this group).
     """
     np_, nc = vals_a[0].shape[0], vals_a[0].shape[1]
-    idx_a = onp.repeat(com.body_a.a, nc)
-    parts = [(vals_a, idx_a)]
-    if vals_b is not None:
-        idx_b = onp.repeat(com.body_b.a, nc)
-        parts.append((vals_b, idx_b))
+    dyn = com.body_a_dyn is not None
+    if dyn:
+        idx_a = jnp.repeat(com.body_a_dyn, nc)
+        parts = [(vals_a, idx_a)]
+        if vals_b is not None:
+            parts.append((vals_b, jnp.repeat(com.body_b_dyn, nc)))
+        scatter = lambda out, idx, vals: out.at[idx].add(vals)
+        cat = jnp.concatenate
+    else:
+        idx_a = onp.repeat(com.body_a.a, nc)
+        parts = [(vals_a, idx_a)]
+        if vals_b is not None:
+            parts.append((vals_b, onp.repeat(com.body_b.a, nc)))
+        scatter = lowering.scatter_add_rows
+        cat = onp.concatenate
 
     first_flat = jnp.concatenate(
         [v[0].reshape(-1, v[0].shape[-1]) for v, _ in parts], axis=0
     )
-    idx = onp.concatenate([i for _, i in parts], axis=0)
+    idx = cat([i for _, i in parts], axis=0)
 
     count = jnp.where(jnp.any(first_flat != 0, axis=-1), 1.0, 0.0)
-    count = lowering.scatter_add_rows(jnp.zeros((nb, 1)), idx, count[:, None])[:, 0]
+    count = scatter(jnp.zeros((nb, 1)), idx, count[:, None])[:, 0]
     denom = (eps + count)[:, None]
 
     outs = []
@@ -335,9 +400,55 @@ def _scatter_average(vals_a, vals_b, com: GroupCommon, nb: int, eps: float):
             [v[k].reshape(-1, v[k].shape[-1]) for v, _ in parts], axis=0
         )
         width = flat.shape[-1]
-        acc = lowering.scatter_add_rows(jnp.zeros((nb, width)), idx, flat)
+        acc = scatter(jnp.zeros((nb, width)), idx, flat)
         outs.append(acc / denom)
     return outs
+
+
+def cull_nearest(group, qp: QP, cutoff: int):
+    """Selects the `cutoff` nearest pairs of a contact group for this step.
+
+    Parity: reference NearNeighbors culling (colliders.py:56-89), active when
+    a scene sets collider_cutoff below a group's pair count.  Distances are
+    body-center distances; the selected rows become traced gathers over the
+    group's per-pair tables (static shapes, jit-friendly).
+    """
+    com = group.com
+    n = len(com.body_a.a)
+    if cutoff >= n:
+        return group
+    pos_a = qp.pos[com.body_a.a]
+    pos_b = qp.pos[com.body_b.a]
+    dist = jnp.linalg.norm(pos_a - pos_b, axis=-1)
+    _, idx = jax.lax.top_k(-dist, cutoff)
+
+    def take_rows(x):
+        return jnp.asarray(x)[idx]
+
+    new_com = GroupCommon(
+        body_a=com.body_a,
+        body_b=com.body_b,
+        one_way=com.one_way,
+        friction=take_rows(com.friction),
+        elasticity=take_rows(com.elasticity),
+        mass_a=take_rows(com.mass_a),
+        inertia_a=take_rows(com.inertia_a),
+        mass_b=take_rows(com.mass_b),
+        inertia_b=take_rows(com.inertia_b),
+        body_a_dyn=jnp.asarray(com.body_a.a)[idx],
+        body_b_dyn=jnp.asarray(com.body_b.a)[idx],
+    )
+    # gather all per-pair geometry tables (leading axis = pair count)
+    import dataclasses
+
+    updates = {}
+    for f in dataclasses.fields(group):
+        if f.name == "com":
+            continue
+        val = getattr(group, f.name)
+        if val is not None and hasattr(val, "shape") and val.shape and val.shape[0] == n:
+            updates[f.name] = take_rows(val)
+    return group.replace(com=new_com, **updates)
 
 
 def spring_apply(group, qp: QP, params: SolverParams, nb: int):

@@ -43,6 +43,10 @@ class System:
     # per-substep Info is only read by the viewer/debug paths; skipping it in
     # the hot loop saves memory traffic.  Enable with sys.replace(debug=True).
     debug: bool = struct.field(pytree_node=False, default=False)
+    # NearNeighbors culling: when > 0, each contact group with more pairs is
+    # narrowed to its `collider_cutoff` nearest pairs per step (reference
+    # colliders.py:56-89, config.proto collider_cutoff)
+    collider_cutoff: int = struct.field(pytree_node=False, default=0)
 
     # --- traced leaves ---
     mass: Array = None  # (nb,)
@@ -95,6 +99,16 @@ def _sum_dq(items, nb: int) -> DQ:
     for it in items:
         out = out + it
     return out
+
+
+def _active_groups(sys: System, qp: QP):
+    """Contact groups for this step, culled to the nearest pairs if enabled."""
+    if not sys.collider_cutoff:
+        return sys.contact_groups
+    return [
+        colliders_mod.cull_nearest(g, qp, sys.collider_cutoff)
+        for g in sys.contact_groups
+    ]
 
 
 def _actuator_dp(sys: System, qp: QP, act: Array) -> DP:
@@ -213,9 +227,10 @@ def _pbd_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
         dq_j = _joint_pbd_dq(sys, qp)
         qp = integ.update_pos(qp, dq_j)
 
+        groups = _active_groups(sys, qp)
         collide_data = [
             colliders_mod.position_apply(g, qp, qprev, sys.solver, nb)
-            for g in sys.contact_groups
+            for g in groups
         ]
         dq_c = _sum_dq([c[0] for c in collide_data], nb)
         dlambdas = [c[1] for c in collide_data]
@@ -229,7 +244,7 @@ def _pbd_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
                 colliders_mod.velocity_apply(
                     g, qp, dlambdas[i], qp_right_before, contacts[i], sys.solver, nb
                 )
-                for i, g in enumerate(sys.contact_groups)
+                for i, g in enumerate(groups)
             ],
             nb,
         )
@@ -280,7 +295,7 @@ def _spring_step(sys: System, qp: QP, act: Array) -> Tuple[QP, Info]:
 
         collide_data = [
             colliders_mod.spring_apply(g, qp, sys.solver, nb)
-            for g in sys.contact_groups
+            for g in _active_groups(sys, qp)
         ]
         dp_c = _sum_dp([c[0] for c in collide_data], nb)
         contacts = [c[1] for c in collide_data]

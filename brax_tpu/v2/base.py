@@ -400,4 +400,12 @@ class System:
         return sum(QD_WIDTHS[t] for t in self.link_types)
 
     def act_size(self) -> int:
-        return sum(QD_WIDTHS[self.link_types[i]] for i in self.actuator_link_id)
+        """One control per actuator.
+
+        Deliberate divergence from reference v2/base.py:543-545, which sums
+        QD_WIDTHS over actuated links — equivalent for 1-dof links (all the
+        reference's v2 envs) but overcounts when a hinge inside a 2/3-dof
+        stack is actuated (e.g. humanoid hips): to_tau routes exactly one
+        scalar per actuator via actuator_qdid.
+        """
+        return len(self.actuator_types)

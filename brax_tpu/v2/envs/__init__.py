@@ -1,7 +1,7 @@
 """v2 environment registry (reference brax/v2/envs/__init__.py).
 
-The reference registers only `ant` on v2; inverted_pendulum is added here as
-a second, contact-free task exercising prismatic joints.
+The reference registers only `ant` on v2; halfcheetah, humanoid, and
+inverted_pendulum (prismatic joints) are ported here as well.
 """
 
 from typing import Callable, Dict, Type
@@ -9,10 +9,14 @@ from typing import Callable, Dict, Type
 from brax_tpu.v2.envs import wrappers
 from brax_tpu.v2.envs.ant import Ant
 from brax_tpu.v2.envs.env import Env, PipelineEnv, State, Wrapper
+from brax_tpu.v2.envs.halfcheetah import Halfcheetah
+from brax_tpu.v2.envs.humanoid import Humanoid
 from brax_tpu.v2.envs.inverted_pendulum import InvertedPendulum
 
 _envs: Dict[str, Type[PipelineEnv]] = {
     "ant": Ant,
+    "halfcheetah": Halfcheetah,
+    "humanoid": Humanoid,
     "inverted_pendulum": InvertedPendulum,
 }
 

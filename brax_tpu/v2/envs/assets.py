@@ -141,6 +141,114 @@ def inverted_double_pendulum_xml() -> str:
 """
 
 
+def humanoid_xml() -> str:
+    """Classic 17-dof humanoid: free torso, 2-dof abdomen, 3-dof hips,
+    knees, 2-dof shoulders, elbows."""
+    return """
+<mujoco model="humanoid">
+  <compiler angle="degree" inertiafromgeom="true"/>
+  <option timestep="0.003" iterations="6" collision="predefined"/>
+  <custom>
+    <numeric data="0.0 0.0 1.4 1.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0 0.0" name="init_qpos"/>
+  </custom>
+  <default>
+    <joint armature="1" damping="1" limited="true"/>
+    <geom friction="1 0.1 0.1"/>
+    <motor ctrllimited="true" ctrlrange="-0.4 0.4"/>
+  </default>
+  <worldbody>
+    <geom name="floor" pos="0 0 0" size="40 40 40" type="plane"/>
+    <body name="torso" pos="0 0 1.4">
+      <joint armature="0" damping="0" limited="false" name="root" pos="0 0 0" type="free"/>
+      <geom fromto="0 -.07 0 0 .07 0" name="torso1" size="0.07" type="capsule"/>
+      <geom name="head" pos="0 0 .19" size=".09" type="sphere"/>
+      <geom fromto="-.01 -.06 -.12 -.01 .06 -.12" name="uwaist" size="0.06" type="capsule"/>
+      <body name="lwaist" pos="-.01 0 -0.260">
+        <geom fromto="0 -.06 0 0 .06 0" name="lwaist_geom" size="0.06" type="capsule"/>
+        <joint armature="0.02" axis="0 0 1" damping="5" name="abdomen_z" pos="0 0 0.065" range="-45 45" stiffness="20" type="hinge"/>
+        <joint armature="0.02" axis="0 1 0" damping="5" name="abdomen_y" pos="0 0 0.065" range="-75 30" stiffness="10" type="hinge"/>
+        <body name="pelvis" pos="0 0 -0.165">
+          <joint armature="0.02" axis="1 0 0" damping="5" name="abdomen_x" pos="0 0 0.1" range="-35 35" stiffness="10" type="hinge"/>
+          <geom fromto="-.02 -.07 0 -.02 .07 0" name="butt" size="0.09" type="capsule"/>
+          <body name="right_thigh" pos="0 -0.1 -0.04">
+            <joint armature="0.01" axis="1 0 0" damping="5" name="right_hip_x" pos="0 0 0" range="-25 5" stiffness="10" type="hinge"/>
+            <joint armature="0.01" axis="0 0 1" damping="5" name="right_hip_z" pos="0 0 0" range="-60 35" stiffness="10" type="hinge"/>
+            <joint armature="0.0080" axis="0 1 0" damping="5" name="right_hip_y" pos="0 0 0" range="-110 20" stiffness="20" type="hinge"/>
+            <geom fromto="0 0 0 0 0.01 -.34" name="right_thigh1" size="0.06" type="capsule"/>
+            <body name="right_shin" pos="0 0.01 -0.403">
+              <joint armature="0.0060" axis="0 -1 0" name="right_knee" pos="0 0 .02" range="-160 -2" type="hinge"/>
+              <geom fromto="0 0 0 0 0 -.3" name="right_shin1" size="0.049" type="capsule"/>
+              <geom name="right_foot" pos="0 0 -0.35" size="0.075" type="sphere"/>
+            </body>
+          </body>
+          <body name="left_thigh" pos="0 0.1 -0.04">
+            <joint armature="0.01" axis="-1 0 0" damping="5" name="left_hip_x" pos="0 0 0" range="-25 5" stiffness="10" type="hinge"/>
+            <joint armature="0.01" axis="0 0 -1" damping="5" name="left_hip_z" pos="0 0 0" range="-60 35" stiffness="10" type="hinge"/>
+            <joint armature="0.01" axis="0 1 0" damping="5" name="left_hip_y" pos="0 0 0" range="-110 20" stiffness="20" type="hinge"/>
+            <geom fromto="0 0 0 0 -0.01 -.34" name="left_thigh1" size="0.06" type="capsule"/>
+            <body name="left_shin" pos="0 -0.01 -0.403">
+              <joint armature="0.0060" axis="0 -1 0" name="left_knee" pos="0 0 .02" range="-160 -2" type="hinge"/>
+              <geom fromto="0 0 0 0 0 -.3" name="left_shin1" size="0.049" type="capsule"/>
+              <geom name="left_foot" pos="0 0 -0.35" size="0.075" type="sphere"/>
+            </body>
+          </body>
+        </body>
+      </body>
+      <body name="right_upper_arm" pos="0 -0.17 0.06">
+        <joint armature="0.0068" axis="2 1 1" name="right_shoulder1" pos="0 0 0" range="-85 60" stiffness="1" type="hinge"/>
+        <joint armature="0.0051" axis="0 -1 1" name="right_shoulder2" pos="0 0 0" range="-85 60" stiffness="1" type="hinge"/>
+        <geom fromto="0 0 0 .16 -.16 -.16" name="right_uarm1" size="0.04" type="capsule"/>
+        <body name="right_lower_arm" pos=".18 -.18 -.18">
+          <joint armature="0.0028" axis="0 -1 1" name="right_elbow" pos="0 0 0" range="-90 50" stiffness="0" type="hinge"/>
+          <geom fromto="0.01 0.01 0.01 .17 .17 .17" name="right_larm" size="0.031" type="capsule"/>
+          <geom name="right_hand" pos=".18 .18 .18" size="0.04" type="sphere"/>
+        </body>
+      </body>
+      <body name="left_upper_arm" pos="0 0.17 0.06">
+        <joint armature="0.0068" axis="2 -1 1" name="left_shoulder1" pos="0 0 0" range="-60 85" stiffness="1" type="hinge"/>
+        <joint armature="0.0051" axis="0 1 1" name="left_shoulder2" pos="0 0 0" range="-60 85" stiffness="1" type="hinge"/>
+        <geom fromto="0 0 0 .16 .16 -.16" name="left_uarm1" size="0.04" type="capsule"/>
+        <body name="left_lower_arm" pos=".18 .18 -.18">
+          <joint armature="0.0028" axis="0 -1 -1" name="left_elbow" pos="0 0 0" range="-90 50" stiffness="0" type="hinge"/>
+          <geom fromto="0.01 -0.01 0.01 .17 -.17 .17" name="left_larm" size="0.031" type="capsule"/>
+          <geom name="left_hand" pos=".18 -.18 .18" size="0.04" type="sphere"/>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor gear="100" joint="abdomen_y"/>
+    <motor gear="100" joint="abdomen_z"/>
+    <motor gear="100" joint="abdomen_x"/>
+    <motor gear="100" joint="right_hip_x"/>
+    <motor gear="100" joint="right_hip_z"/>
+    <motor gear="300" joint="right_hip_y"/>
+    <motor gear="200" joint="right_knee"/>
+    <motor gear="100" joint="left_hip_x"/>
+    <motor gear="100" joint="left_hip_z"/>
+    <motor gear="300" joint="left_hip_y"/>
+    <motor gear="200" joint="left_knee"/>
+    <motor gear="25" joint="right_shoulder1"/>
+    <motor gear="25" joint="right_shoulder2"/>
+    <motor gear="25" joint="right_elbow"/>
+    <motor gear="25" joint="left_shoulder1"/>
+    <motor gear="25" joint="left_shoulder2"/>
+    <motor gear="25" joint="left_elbow"/>
+  </actuator>
+  <contact>
+    <pair geom1="floor" geom2="right_foot"/>
+    <pair geom1="floor" geom2="left_foot"/>
+    <pair geom1="floor" geom2="right_shin1"/>
+    <pair geom1="floor" geom2="left_shin1"/>
+    <pair geom1="floor" geom2="butt"/>
+    <pair geom1="floor" geom2="torso1"/>
+    <pair geom1="floor" geom2="right_hand"/>
+    <pair geom1="floor" geom2="left_hand"/>
+  </contact>
+</mujoco>
+"""
+
+
 def halfcheetah_xml() -> str:
     """Planar runner: torso + back/front legs (thigh, shin, foot)."""
     segs = {
@@ -163,7 +271,9 @@ def halfcheetah_xml() -> str:
   <worldbody>
     <geom name="floor" pos="0 0 0" size="40 40 40" type="plane"/>
     <body name="torso" pos="0 0 .7">
-      <joint armature="0" damping="0" limited="false" name="root" pos="0 0 0" type="free"/>
+      <joint armature="0" axis="1 0 0" damping="0" limited="false" name="rootx" pos="0 0 0" stiffness="0" type="slide"/>
+      <joint armature="0" axis="0 0 1" damping="0" limited="false" name="rootz" pos="0 0 0" stiffness="0" type="slide"/>
+      <joint armature="0" axis="0 1 0" damping="0" limited="false" name="rooty" pos="0 0 0" stiffness="0" type="hinge"/>
       <geom fromto="-.5 0 0 .5 0 0" name="torso_geom" size="0.046" type="capsule"/>
       <geom name="head" fromto=".5 0 0 .6 0 .1" size="0.046" type="capsule"/>
       <body name="bthigh" pos="-.5 0 0">

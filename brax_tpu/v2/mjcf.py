@@ -451,7 +451,7 @@ class _Compiler:
     def _body_inertia(self, body_id: int):
         """Accumulates geoms -> (mass, ipos, iquat, diag inertia)."""
         use_geoms = self.inertiafromgeom == "true" or (
-            self.inertiafromgeom == "auto" and self.body_inertial[body_id] is None
+            self.body_inertial[body_id] is None
         )
         if not use_geoms:
             ipos, iquat, idiag, mass = self.body_inertial[body_id]

@@ -147,3 +147,80 @@ def test_vmap_and_grad_through_step():
     g = jax.grad(loss)(jnp.zeros(8))
     assert g.shape == (8,)
     assert not bool(jnp.any(jnp.isnan(g)))
+
+
+def test_box_stacks_on_box():
+    """SAT hull-hull: a falling box comes to rest on a static box."""
+    cfg = Config(
+        bodies=[
+            Body(name="top", colliders=[Collider(box=Box(halfsize=(0.2, 0.2, 0.2)))],
+                 inertia=(0.1, 0.1, 0.1), mass=1.0),
+            Body(name="base", colliders=[Collider(box=Box(halfsize=(0.5, 0.5, 0.25)))],
+                 inertia=(1, 1, 1), mass=1.0, frozen=FrozenAxes(all=True)),
+        ],
+        gravity=(0.0, 0.0, -9.8),
+        friction=1.0,
+        elasticity=0.0,
+        dt=0.02,
+        substeps=8,
+        dynamics_mode="pbd",
+    )
+    sys, art = builder.build(cfg)
+    qp = QP(
+        pos=jnp.array([[0.05, 0.0, 0.8], [0.0, 0.0, 0.25]]),
+        rot=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (2, 1)),
+        vel=jnp.zeros((2, 3)),
+        ang=jnp.zeros((2, 3)),
+    )
+    step = jax.jit(sys.step)
+    act = jnp.array([])
+    for _ in range(100):
+        qp, _ = step(qp, act)
+    # rests on top of the base: base top face at z=0.5 + half-height 0.2
+    assert 0.6 < float(qp.pos[0, 2]) < 0.8
+    assert abs(float(qp.vel[0, 2])) < 0.1
+    assert float(jnp.abs(qp.ang[0]).max()) < 0.5
+
+
+def test_collider_cutoff_near_neighbors():
+    """NearNeighbors culling: trajectories match the uncut sim when the
+    cutoff still covers every active contact (balls far apart)."""
+    def build(cutoff):
+        cfg = Config(
+            bodies=[
+                Body(name=f"b{i}",
+                     colliders=[Collider(sphere=Sphere(radius=0.2))],
+                     inertia=(0.1, 0.1, 0.1), mass=1.0)
+                for i in range(4)
+            ] + [
+                Body(name="ground", colliders=[Collider(plane=Plane())],
+                     inertia=(1, 1, 1), mass=1.0, frozen=FrozenAxes(all=True)),
+            ],
+            gravity=(0.0, 0.0, -9.8),
+            friction=0.6,
+            dt=0.02,
+            substeps=8,
+            dynamics_mode="pbd",
+            collider_cutoff=cutoff,
+        )
+        return builder.build(cfg)[0]
+
+    qp0 = QP(
+        pos=jnp.array([[0.0, 0, 1.0], [3.0, 0, 1.2], [0, 3.0, 0.9], [3.0, 3.0, 1.1],
+                       [0.0, 0.0, 0.0]]),
+        rot=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (5, 1)),
+        vel=jnp.zeros((5, 3)),
+        ang=jnp.zeros((5, 3)),
+    )
+    outs = {}
+    for cutoff in (0, 4):
+        sys = build(cutoff)
+        qp = qp0
+        step = jax.jit(sys.step)
+        for _ in range(30):
+            qp, _ = step(qp, jnp.array([]))
+        outs[cutoff] = np.asarray(qp.pos)
+    # cutoff=4 culls the 6-pair ball-ball group but keeps every plane pair
+    # (cull distance is body-center based, so it must cover active contacts)
+    assert np.all(np.abs(outs[4][:4, 2] - 0.2) < 0.05)
+    np.testing.assert_allclose(outs[0], outs[4], atol=1e-4)

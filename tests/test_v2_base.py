@@ -171,3 +171,24 @@ def test_mjcf_custom_params():
     assert float(sys.baumgarte_erp) == pytest.approx(0.3)
     np.testing.assert_allclose(np.asarray(sys.geoms[0].elasticity), 0.7)
     np.testing.assert_allclose(np.asarray(sys.init_q), [1.0, 2.0])
+
+
+def test_urdf_import_laikago():
+    """Native URDF importer: quadruped with fixed-joint fusing + meshes."""
+    import os
+
+    from brax_tpu.v2 import kinematics, urdf
+
+    path = "/root/reference/brax/v2/test_data/laikago/laikago_toes_zup.urdf"
+    if not os.path.exists(path):
+        pytest.skip("laikago fixture unavailable")
+    sys = urdf.load(path)
+    # chassis (free) + 4 legs x 3 continuous joints; 4 fixed toes fused away
+    assert sys.link_types == "f" + "1" * 12
+    assert sys.q_size() == 19 and sys.qd_size() == 18
+    np.testing.assert_allclose(float(sys.link.inertia.mass[0]), 13.715)
+    # toes (0.1 kg) merged into the 0.241 kg lower legs
+    lower = np.asarray(sys.link.inertia.mass)[3::3]
+    np.testing.assert_allclose(lower, 0.341, atol=1e-6)
+    x, xd = kinematics.forward(sys, sys.init_q, jnp.zeros(sys.qd_size()))
+    assert bool(jnp.all(jnp.isfinite(x.pos)))

@@ -252,6 +252,33 @@ def test_v2_ant_env_positional_backend():
     assert bool(jnp.all(jnp.isfinite(state.obs)))
 
 
+def test_v2_halfcheetah_env():
+    from brax_tpu.v2 import envs as v2_envs
+
+    env = v2_envs.create("halfcheetah", episode_length=100)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (17,)
+    assert env.action_size == 6
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+
+
+def test_v2_humanoid_env():
+    from brax_tpu.v2 import envs as v2_envs
+
+    env = v2_envs.create("humanoid", episode_length=100)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (45,)
+    assert env.action_size == 17
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    assert float(state.pipeline_state.x.pos[0, 2]) > 0.5
+
+
 def test_v2_inverted_pendulum_env():
     from brax_tpu.v2 import envs as v2_envs
 
