@@ -21,9 +21,12 @@ autodiff (APG), CPU, and scene features this kernel does not cover yet.
 jnp step when unsupported.  Numerics match the jnp path to float32
 round-off (atan2 uses a minimax polynomial; see tests/test_pallas_kernel.py).
 
-Covers: PBD mode, revolute joints, 1-dof torque actuators, one-way
-capsule-plane contacts, thruster forces absent.  (This spans ant, the
-reference's headline benchmark env.)
+Covers: PBD mode, revolute + spherical joints, torque + angle (PD)
+actuators, thruster/twister forces, capsule-plane, one-way box-plane, and
+capsule-capsule contacts — the whole standard env suite (ant, humanoid,
+grasp, ur5e, fetch, ...).  Under `jax.grad`, a custom VJP re-derives the
+backward pass through the jnp reference step (see `_with_vjp`), so fused
+rollouts stay differentiable.
 """
 
 from __future__ import annotations
@@ -159,16 +162,28 @@ def supported(sys: System) -> bool:
     """True if the fused kernel covers this system's features."""
     if sys.dynamics_mode != "pbd":
         return False
-    if sys.force_groups:
-        return False
+    if sys.collider_cutoff:
+        return False  # dynamic pair culling needs traced gathers
     for g in sys.joint_groups:
-        if g.kind != "revolute":
+        if g.kind not in ("revolute", "spherical"):
             return False
     for a in sys.actuator_groups:
-        if a.kind != "torque":
+        if a.kind not in ("torque", "angle"):
+            return False
+    for fo in sys.force_groups:
+        if fo.kind not in ("thruster", "twister"):
             return False
     for c in sys.contact_groups:
-        if not isinstance(c, colliders_mod.CapsulePlane) or not c.com.one_way:
+        if not isinstance(
+            c,
+            (
+                colliders_mod.CapsulePlane,
+                colliders_mod.BoxPlane,
+                colliders_mod.CapsuleCapsule,
+            ),
+        ):
+            return False
+        if isinstance(c, colliders_mod.BoxPlane) and not c.com.one_way:
             return False
     return True
 
@@ -209,19 +224,22 @@ def _build_tile_step(sys: System):
         off_c = onp.asarray(g.off_c, onp.float64)
         axis_p = onp.asarray(g.axis_p, onp.float64)  # (nj, 3, 3)
         axis_c = onp.asarray(g.axis_c, onp.float64)
-        limit = onp.asarray(g.limit, onp.float64)  # (nj, 1, 2)
+        limit = onp.asarray(g.limit, onp.float64)  # (nj, dof, 2)
         ad = onp.asarray(g.angular_damping, onp.float64)
         sp = onp.asarray(g.scale_pos, onp.float64)
         sa = onp.asarray(g.scale_ang, onp.float64)
         for j in range(g.n):
             joints.append(
                 dict(
+                    kind=g.kind,
+                    dof=g.dof,
                     p=int(g.parent.a[j]),
                     c=int(g.child.a[j]),
                     off_p=tuple(map(f, off_p[j])),
                     off_c=tuple(map(f, off_c[j])),
                     axis_p=[tuple(map(f, axis_p[j][k])) for k in range(3)],
                     axis_c=[tuple(map(f, axis_c[j][k])) for k in range(3)],
+                    limits=[(f(limit[j, d, 0]), f(limit[j, d, 1])) for d in range(g.dof)],
                     lo=f(limit[j, 0, 0]),
                     hi=f(limit[j, 0, 1]),
                     angular_damping=f(ad[j]),
@@ -246,80 +264,180 @@ def _build_tile_step(sys: System):
         for k in range(a.n):
             actuators.append(
                 dict(
+                    kind=a.kind,
                     j=joint_base[a.group_index] + int(a.joint_sel.a[k]),
-                    act=int(a.act_index.a[k, 0]),
+                    acts=[int(i) for i in a.act_index.a[k]],  # -1 = padded dof
                     strength=f(strength[k]),
                 )
             )
 
-    # contact tables: per (pair, end)
+    forces = []
+    for fo in sys.force_groups:
+        strength = onp.asarray(fo.strength, onp.float64)
+        fmass = onp.asarray(fo.mass, onp.float64)
+        na_total = sys.num_joint_dof + sys.num_forces_dof
+        for k in range(fo.n):
+            forces.append(
+                dict(
+                    kind=fo.kind,
+                    body=int(fo.body.a[k]),
+                    # clip-gather parity with jumpy.take (actuators.force_apply)
+                    acts=[min(max(int(i), 0), na_total - 1) for i in fo.act_index.a[k]],
+                    strength=f(strength[k]),
+                    mass=f(fmass[k]),
+                )
+            )
+
+    # contact tables: one entry per (pair, manifold point)
     contacts = []
-    for c in sys.contact_groups:
-        end = onp.asarray(c.end, onp.float64)  # (np, ne, 3)
-        radius = onp.asarray(c.radius, onp.float64)
+    for grp_idx, c in enumerate(sys.contact_groups):
         friction = onp.asarray(c.com.friction, onp.float64)
         elasticity = onp.asarray(c.com.elasticity, onp.float64)
-        for pidx in range(end.shape[0]):
+        n_pairs = len(c.com.body_a.a)
+        for pidx in range(n_pairs):
             a_idx = int(c.com.body_a.a[pidx])
             b_idx = int(c.com.body_b.a[pidx])
-            for e in range(end.shape[1]):
+            base_entry = dict(
+                grp=grp_idx,
+                a=a_idx,
+                b=b_idx,
+                one_way=bool(c.com.one_way),
+                friction=f(friction[pidx]),
+                elasticity=f(elasticity[pidx]),
+                mass_a=f(mass[a_idx]),
+                inertia_a=tuple(map(f, inv_inertia[a_idx])),
+                mass_b=f(mass[b_idx]),
+                inertia_b=tuple(map(f, inv_inertia[b_idx])),
+            )
+            if isinstance(c, colliders_mod.CapsulePlane):
+                end = onp.asarray(c.end, onp.float64)
+                radius = onp.asarray(c.radius, onp.float64)
+                for e in range(end.shape[1]):
+                    contacts.append(
+                        dict(
+                            base_entry,
+                            kind="cap_plane",
+                            end=tuple(map(f, end[pidx, e])),
+                            radius=f(radius[pidx]),
+                        )
+                    )
+            elif isinstance(c, colliders_mod.BoxPlane):
+                corner = onp.asarray(c.corner, onp.float64)  # (np, 8, 3)
+                for e in range(corner.shape[1]):
+                    contacts.append(
+                        dict(
+                            base_entry,
+                            kind="cap_plane",  # corner == zero-radius cap end
+                            end=tuple(map(f, corner[pidx, e])),
+                            radius=0.0,
+                        )
+                    )
+            elif isinstance(c, colliders_mod.CapsuleCapsule):
                 contacts.append(
                     dict(
-                        a=a_idx,
-                        b=b_idx,
-                        end=tuple(map(f, end[pidx, e])),
-                        radius=f(radius[pidx]),
-                        friction=f(friction[pidx]),
-                        elasticity=f(elasticity[pidx]),
-                        mass_a=f(mass[a_idx]),
-                        inertia_a=tuple(map(f, inv_inertia[a_idx])),
+                        base_entry,
+                        kind="cap_cap",
+                        end_a=tuple(map(f, onp.asarray(c.end_a, onp.float64)[pidx])),
+                        off_a=tuple(map(f, onp.asarray(c.off_a, onp.float64)[pidx])),
+                        radius_a=f(onp.asarray(c.radius_a, onp.float64)[pidx]),
+                        end_b=tuple(map(f, onp.asarray(c.end_b, onp.float64)[pidx])),
+                        off_b=tuple(map(f, onp.asarray(c.off_b, onp.float64)[pidx])),
+                        radius_b=f(onp.asarray(c.radius_b, onp.float64)[pidx]),
                     )
                 )
+            else:
+                raise NotImplementedError(type(c))
 
     n_substeps = sys.substeps // 2
 
     def body_vecs(arr, b, width):
         return tuple(arr[b, k] for k in range(width))
 
+    def _acos(x):
+        # Mosaic has no acos; acos(x) = atan2(sqrt(1-x^2), x)
+        xc = jnp.clip(x, -1.0, 1.0)
+        return _arctan2(jnp.sqrt(jnp.maximum(1.0 - xc * xc, 0.0)), xc)
+
+    def _normalize(v, eps):
+        n = _vnorm_safe(v)
+        return _vscale(v, 1.0 / (eps + n)), n
+
+    def joint_axes_angles(jd, rot_p, rot_c):
+        """axis_angle parity (joints.axis_angle): per-dof axes + angles."""
+        a_p = [_rotate(jd["axis_p"][k], rot_p) for k in range(3)]
+        a_c = [_rotate(jd["axis_c"][k], rot_c) for k in range(3)]
+        if jd["kind"] == "revolute":
+            psi = _signed_angle(a_p[0], a_p[2], a_c[2])
+            return [a_p[0]], [psi]
+        # spherical (line-of-nodes x-y'-z'' euler), joints.py:142-164
+        line, _ = _normalize(_vcross(a_c[2], a_p[0]), 1e-10)
+        psi = _signed_angle(a_p[0], a_p[1], line)
+        in_xz = _vadd(
+            _vscale(a_c[0], _vdot(a_p[0], a_c[0])),
+            _vscale(a_c[1], _vdot(a_p[0], a_c[1])),
+        )
+        in_xz, _ = _normalize(in_xz, 1e-10)
+        ang_between = _vdot(in_xz, a_p[0])
+        theta = _acos(ang_between) * jnp.sign(_vdot(a_p[0], a_c[2]))
+        neg_a3c = _vscale(a_c[2], -1.0)
+        phi = _signed_angle(neg_a3c, a_c[1], line)
+        return [a_p[0], a_c[1], a_c[2]], [psi, theta, phi]
+
     def actuator_joint_damp_dp(pos, rot, vel, ang, act):
-        """Accumulated acceleration-level dp (actuators + joint damping).
-
-        Only angular contributions exist on this path (torque actuators and
-        joint damping produce no linear force)."""
+        """Accumulated acceleration-level dp: joint damping, torque/angle
+        actuators (angular), thruster/twister forces (linear/angular)."""
         dang_acc = {}
+        dvel_acc = {}
 
-        def add_ang(b, v):
-            if b in dang_acc:
-                dang_acc[b] = _vadd(dang_acc[b], v)
-            else:
-                dang_acc[b] = v
+        def add(acc, b, v):
+            acc[b] = v if b not in acc else _vadd(acc[b], v)
 
         # joint angular damping (joints.damp)
         for jd in joints:
             tq = _vscale(_vsub(ang[jd["p"]], ang[jd["c"]]), -jd["angular_damping"])
-            add_ang(jd["p"], _vmul(tq, jd["inertia_p"]))
-            add_ang(jd["c"], _vscale(_vmul(tq, jd["inertia_c"]), -1.0))
+            add(dang_acc, jd["p"], _vmul(tq, jd["inertia_p"]))
+            add(dang_acc, jd["c"], _vscale(_vmul(tq, jd["inertia_c"]), -1.0))
 
-        # torque actuators (actuators.apply, kind == 'torque')
+        # actuators (actuators.apply)
         for ac in actuators:
             jd = joints[ac["j"]]
             rot_p, rot_c = rot[jd["p"]], rot[jd["c"]]
-            axis = _rotate(jd["axis_p"][0], rot_p)
-            ref_p = _rotate(jd["axis_p"][2], rot_p)
-            ref_c = _rotate(jd["axis_c"][2], rot_c)
-            psi = _signed_angle(axis, ref_p, ref_c)
-            torque_scalar = act[ac["act"]] * (-ac["strength"])
-            torque_scalar = jnp.where(psi < jd["lo"], 0.0, torque_scalar)
-            torque_scalar = jnp.where(psi > jd["hi"], 0.0, torque_scalar)
-            tq = _vscale(axis, torque_scalar)
-            add_ang(jd["p"], _vmul(tq, jd["inertia_p"]))
-            add_ang(jd["c"], _vscale(_vmul(tq, jd["inertia_c"]), -1.0))
+            axes, angles = joint_axes_angles(jd, rot_p, rot_c)
+            zero = jnp.zeros_like(act[0])
+            tq = (zero, zero, zero)
+            for d in range(jd["dof"]):
+                lo, hi = jd["limits"][d]
+                a_idx = ac["acts"][d]
+                act_d = act[a_idx] if a_idx >= 0 else zero
+                if ac["kind"] == "torque":
+                    ts = act_d * (-ac["strength"])
+                    ts = jnp.where(angles[d] < lo, 0.0, ts)
+                    ts = jnp.where(angles[d] > hi, 0.0, ts)
+                else:  # angle (PD to target; padded dofs PD toward 0)
+                    target = jnp.clip(act_d * (pymath.pi / 180.0), lo, hi)
+                    ts = (target - angles[d]) * ac["strength"]
+                tq = _vadd(tq, _vscale(axes[d], ts))
+            if ac["kind"] == "torque":
+                add(dang_acc, jd["p"], _vmul(tq, jd["inertia_p"]))
+                add(dang_acc, jd["c"], _vscale(_vmul(tq, jd["inertia_c"]), -1.0))
+            else:  # angle actuators push the parent opposite (actuators.py)
+                add(dang_acc, jd["p"], _vscale(_vmul(tq, jd["inertia_p"]), -1.0))
+                add(dang_acc, jd["c"], _vmul(tq, jd["inertia_c"]))
+
+        # direct forces (actuators.force_apply)
+        for fo in forces:
+            d3 = tuple(act[i] * (fo["strength"] / fo["mass"]) for i in fo["acts"])
+            if fo["kind"] == "thruster":
+                add(dvel_acc, fo["body"], d3)
+            else:
+                add(dang_acc, fo["body"], d3)
 
         zero = jnp.zeros_like(act[0])
-        out = []
-        for b in range(nb):
-            out.append(dang_acc.get(b, (zero, zero, zero)))
-        return out
+        z3 = (zero, zero, zero)
+        return (
+            [dvel_acc.get(b, z3) for b in range(nb)],
+            [dang_acc.get(b, z3) for b in range(nb)],
+        )
 
     def pbd_joint_dq(pos, rot):
         """Position-level joint projection (joints.pbd_apply, revolute)."""
@@ -357,25 +475,57 @@ def _build_tile_step(sys: System):
             dq_p_rot = tuple(0.5 * sp * x for x in qp_rot)
             dq_c_rot = tuple(-0.5 * sp * x for x in qc_rot)
 
-            # revolute angle rows
-            axis = _rotate(jd["axis_p"][0], rot_p)
-            ref_p = _rotate(jd["axis_p"][2], rot_p)
-            ref_c = _rotate(jd["axis_c"][2], rot_c)
-            psi = _signed_angle(axis, ref_p, ref_c)
-            axis_c_x = _rotate(jd["axis_c"][0], rot_c)
-            dq_1 = _vcross(axis, axis_c_x)
-            ph = jnp.clip(psi, jd["lo"], jd["hi"])
-            half = ph / 2.0
-            fixrot = (jnp.cos(half), axis[0] * jnp.sin(half), axis[1] * jnp.sin(half), axis[2] * jnp.sin(half))
-            n1 = _rotate(ref_p, fixrot)
-            dq_2 = _vcross(n1, ref_c)
+            # angle rows (revolute: align + limit; spherical: 3 euler rows)
+            if jd["kind"] == "revolute":
+                axis = _rotate(jd["axis_p"][0], rot_p)
+                ref_p = _rotate(jd["axis_p"][2], rot_p)
+                ref_c = _rotate(jd["axis_c"][2], rot_c)
+                psi = _signed_angle(axis, ref_p, ref_c)
+                axis_c_x = _rotate(jd["axis_c"][0], rot_c)
+                dq_1 = _vcross(axis, axis_c_x)
+                ph = jnp.clip(psi, jd["lo"], jd["hi"])
+                half = ph / 2.0
+                fixrot = (jnp.cos(half), axis[0] * jnp.sin(half),
+                          axis[1] * jnp.sin(half), axis[2] * jnp.sin(half))
+                n1 = _rotate(ref_p, fixrot)
+                dq_2 = _vcross(n1, ref_c)
+                dq_rows = (dq_1, dq_2)
+            else:
+                # spherical rows (joints.py pbd_apply spherical branch,
+                # 1e-6-eps normalizations)
+                a_p = [_rotate(jd["axis_p"][k], rot_p) for k in range(3)]
+                a_c = [_rotate(jd["axis_c"][k], rot_c) for k in range(3)]
+                line, _ = _normalize(_vcross(a_c[2], a_p[0]), 1e-6)
+                in_xz = _vadd(
+                    _vscale(a_c[0], _vdot(a_p[0], a_c[0])),
+                    _vscale(a_c[1], _vdot(a_p[0], a_c[1])),
+                )
+                in_xz, _ = _normalize(in_xz, 1e-6)
+                a2_normal, _ = _normalize(_vcross(in_xz, a_p[0]), 1e-6)
+                sgn = jnp.sign(_vdot(a_p[0], a_c[2]))
+                rows = (
+                    (a_p[0], a_p[1], line, 0),
+                    ((_vscale(a2_normal, -sgn)), a_p[0], in_xz, 1),
+                    (a_c[2], line, a_c[1], 2),  # -yc_n_normal == axis_3_c
+                )
+                dq_rows = []
+                for n_, n_1, n_2, lim_i in rows:
+                    lo, hi = jd["limits"][lim_i]
+                    ph = _signed_angle(n_, n_1, n_2)
+                    mask = jnp.where(ph < lo, 1.0, 0.0)
+                    mask = jnp.where(ph > hi, 1.0, mask)
+                    ph = jnp.clip(ph, lo, hi)
+                    half = ph / 2.0
+                    fixrot = (jnp.cos(half), n_[0] * jnp.sin(half),
+                              n_[1] * jnp.sin(half), n_[2] * jnp.sin(half))
+                    n1r = _rotate(n_1, fixrot)
+                    dq_rows.append(_vscale(_vcross(n1r, n_2), mask))
+                dq_rows = tuple(dq_rows)
 
             sa = jd["scale_ang"]
-            ap = (0.0, 0.0, 0.0, 0.0)
-            acs = (0.0, 0.0, 0.0, 0.0)
             rot_updates_p = []
             rot_updates_c = []
-            for dq_ang in (dq_1, dq_2):
+            for dq_ang in dq_rows:
                 th = _vnorm_safe(dq_ang)
                 nn = _vscale(dq_ang, 1.0 / (th + 1e-6))
                 w1a = _vdot(nn, _vmul(nn, jd["inertia_p"]))
@@ -386,8 +536,8 @@ def _build_tile_step(sys: System):
                 qc_r = _vec_qmul(_vmul(pa, jd["inertia_c"]), rot_c)
                 rot_updates_p.append(tuple(0.5 * sa * x for x in qp_r))
                 rot_updates_c.append(tuple(-0.5 * sa * x for x in qc_r))
-            sum_p = tuple(a + b for a, b in zip(*rot_updates_p))
-            sum_c = tuple(a + b for a, b in zip(*rot_updates_c))
+            sum_p = tuple(sum(col) for col in zip(*rot_updates_p))
+            sum_c = tuple(sum(col) for col in zip(*rot_updates_c))
             dq_p_rot = tuple(a + b for a, b in zip(dq_p_rot, sum_p))
             dq_c_rot = tuple(a + b for a, b in zip(dq_c_rot, sum_c))
 
@@ -403,168 +553,304 @@ def _build_tile_step(sys: System):
             [d if d is not None else z4 for d in drot],
         )
 
-    def contact_position_pass(pos, rot, prev_pos, prev_rot):
-        """One-way capsule-plane PBD position contacts.
+    def _closest_seg_seg(a0, a1, b0, b1):
+        """geometry._closest_segment_to_segment_points, scalarized."""
+        def seg_point_dist(p0, p1, pt):
+            ab = _vsub(p1, p0)
+            t = _vdot(_vsub(pt, p0), ab) / (_vdot(ab, ab) + 1e-6)
+            cp = _vadd(p0, _vscale(ab, jnp.clip(t, 0.0, 1.0)))
+            v = _vsub(pt, cp)
+            return cp, _vdot(v, v)
 
-        Returns (dpos, drot per body, per-contact dlambda list, contact data).
-        """
-        # per-body accumulators + contact counts for averaging
-        acc_pos = [None] * nb
-        acc_rot = [None] * nb
-        counts = [None] * nb
-        per_contact = []
+        dir_a = _vsub(a1, a0)
+        len_a = _vnorm_safe(dir_a)
+        len_a = len_a + 1e-6 * (len_a == 0.0)
+        dir_a = _vscale(dir_a, 1.0 / len_a)
+        half_a = len_a * 0.5
+        dir_b = _vsub(b1, b0)
+        len_b = _vnorm_safe(dir_b)
+        len_b = len_b + 1e-6 * (len_b == 0.0)
+        dir_b = _vscale(dir_b, 1.0 / len_b)
+        half_b = len_b * 0.5
 
-        for cd in contacts:
-            a = cd["a"]
-            pos_a, rot_a = pos[a], rot[a]
-            cap_end = _vadd(pos_a, _rotate(cd["end"], rot_a))
-            # plane body is frozen at origin with identity rotation in all
-            # our scenes; normal is +z, plane height = pos[b].z
-            nrm = (jnp.zeros_like(pos_a[0]), jnp.zeros_like(pos_a[0]), jnp.ones_like(pos_a[0]))
+        a_mid = _vadd(a0, _vscale(dir_a, half_a))
+        b_mid = _vadd(b0, _vscale(dir_b, half_b))
+        trans = _vsub(a_mid, b_mid)
+        dab = _vdot(dir_a, dir_b)
+        dat = _vdot(dir_a, trans)
+        dbt = _vdot(dir_b, trans)
+        denom = 1.0 - dab * dab
+        t_a = jnp.clip((-dat + dab * dbt) / (denom + 1e-6), -half_a, half_a)
+        t_b = jnp.clip(dbt + t_a * dab, -half_b, half_b)
+        best_a = _vadd(a_mid, _vscale(dir_a, t_a))
+        best_b = _vadd(b_mid, _vscale(dir_b, t_b))
+        new_a, d1 = seg_point_dist(a0, a1, best_b)
+        new_b, d2 = seg_point_dist(b0, b1, best_a)
+        lt = d1 < d2
+        best_a = tuple(jnp.where(lt, na, ba) for na, ba in zip(new_a, best_a))
+        best_b = tuple(jnp.where(lt, bb, nbv) for nbv, bb in zip(new_b, best_b))
+        return best_a, best_b
+
+    def narrowphase(cd, pos, rot, vel, ang):
+        """Returns (cpos, normal, penetration) for one contact entry."""
+        a, b = cd["a"], cd["b"]
+        if cd["kind"] == "cap_plane":
+            cap_end = _vadd(pos[a], _rotate(cd["end"], rot[a]))
+            # plane body: +z normal rotated by (frozen, identity) plane rot
+            one = jnp.ones_like(pos[a][0])
+            zero = jnp.zeros_like(pos[a][0])
+            nrm = _rotate((zero, zero, one), rot[b])
             cpos = _vsub(cap_end, _vscale(nrm, cd["radius"]))
-            pen = _vdot(_vsub(pos[cd["b"]], cpos), nrm)
+            pen = _vdot(_vsub(pos[b], cpos), nrm)
+            return cpos, nrm, pen
+        # cap_cap (colliders.CapsuleCapsule.contact)
+        pos_ca = _vadd(pos[a], _rotate(cd["off_a"], rot[a]))
+        e_a = _rotate(cd["end_a"], rot[a])
+        a0, a1 = _vadd(pos_ca, e_a), _vsub(pos_ca, e_a)
+        pos_cb = _vadd(pos[b], _rotate(cd["off_b"], rot[b]))
+        e_b = _rotate(cd["end_b"], rot[b])
+        b0, b1 = _vadd(pos_cb, e_b), _vsub(pos_cb, e_b)
+        best_a, best_b = _closest_seg_seg(a0, a1, b0, b1)
+        pen_vec = _vsub(best_a, best_b)
+        dist = _vnorm_safe(pen_vec)
+        nrm = _vscale(pen_vec, 1.0 / (1e-6 + dist))
+        pen = cd["radius_a"] + cd["radius_b"] - dist
+        cpos = _vscale(_vadd(best_a, best_b), 0.5)
+        return cpos, nrm, pen
 
-            # one-way position contact
-            c = -pen
-            arm_p = _vsub(cpos, pos_a)
-            # pos_c = cpos + nrm * pen; dx = -nrm*pen; c = dot(dx, n) = -pen
-            cr1 = _vcross(arm_p, nrm)
-            w1 = 1.0 / cd["mass_a"] + _vdot(cr1, _vmul(cr1, cd["inertia_a"]))
-            dlambda = -c / (w1 + 1e-6)
-            coll_mask = jnp.where(c < 0, 1.0, 0.0)
-            p = _vscale(nrm, dlambda * coll_mask)
+    def contact_position_pass(pos, rot, prev_pos, prev_rot):
+        """PBD position contacts (one-way and two-way).
 
-            dq_pos = _vscale(p, cs / cd["mass_a"])
-            q_r = _vec_qmul(_vmul(_vcross(arm_p, p), cd["inertia_a"]), rot_a)
-            dq_rot = tuple(cs * 0.5 * x for x in q_r)
+        Returns (dpos, drot per body, per-contact data for the velocity pass).
+        """
+        # parity with the jnp path: updates average PER contact GROUP (by that
+        # group's per-body contact count), then sum across groups
+        acc_pos = {}
+        acc_rot = {}
+        counts = {}
+        per_contact = []
+        cur_grp = [None]
 
-            # static friction
-            q1inv = _qinv(rot_a)
-            r1 = _rotate(_vsub(cpos, pos_a), q1inv)
-            p1bar = _vadd(prev_pos[a], _rotate(r1, prev_rot[a]))
-            deltap = _vsub(cpos, p1bar)
-            dp_n = _vdot(deltap, nrm)
-            deltap_t = _vsub(deltap, _vscale(nrm, dp_n))
-            ct = _vnorm_safe(deltap_t)
-            nt = _vscale(deltap_t, 1.0 / (ct + 1e-6))
-            cr1t = _vcross(arm_p, nt)
-            w1t = 1.0 / cd["mass_a"] + _vdot(cr1t, _vmul(cr1t, cd["inertia_a"]))
-            dlambdat = -ct / w1t
-            static_mask = jnp.where(
-                jnp.abs(dlambdat) < jnp.abs(cd["friction"] * dlambda), 1.0, 0.0
-            )
-            pt = _vscale(nt, dlambdat * static_mask * coll_mask)
-            dq_pos = _vadd(dq_pos, _vscale(pt, cs / cd["mass_a"]))
-            q_rt = _vec_qmul(_vmul(_vcross(arm_p, pt), cd["inertia_a"]), rot_a)
-            dq_rot = tuple(a_ + cs * 0.5 * x for a_, x in zip(dq_rot, q_rt))
-
-            # contact counts: nonzero positional update
-            nonzero = jnp.where(
+        def add(bidx, dq_pos, dq_rot):
+            key = (cur_grp[0], bidx)
+            nz = jnp.where(
                 (dq_pos[0] != 0) | (dq_pos[1] != 0) | (dq_pos[2] != 0), 1.0, 0.0
             )
-            if acc_pos[a] is None:
-                acc_pos[a] = dq_pos
-                acc_rot[a] = dq_rot
-                counts[a] = nonzero
+            if key not in acc_pos:
+                acc_pos[key], acc_rot[key], counts[key] = dq_pos, dq_rot, nz
             else:
-                acc_pos[a] = _vadd(acc_pos[a], dq_pos)
-                acc_rot[a] = tuple(x + y for x, y in zip(acc_rot[a], dq_rot))
-                counts[a] = counts[a] + nonzero
+                acc_pos[key] = _vadd(acc_pos[key], dq_pos)
+                acc_rot[key] = tuple(x + y for x, y in zip(acc_rot[key], dq_rot))
+                counts[key] = counts[key] + nz
 
-            per_contact.append(
-                dict(cd=cd, pos=cpos, normal=nrm, penetration=pen,
-                     dlambda=dlambda * coll_mask)
-            )
+        for cd in contacts:
+            cur_grp[0] = cd["grp"]
+            a, b = cd["a"], cd["b"]
+            cpos, nrm, pen = narrowphase(cd, pos, rot, None, None)
+            pos_a, rot_a = pos[a], rot[a]
+
+            if cd["one_way"]:
+                c = -pen
+                arm_p = _vsub(cpos, pos_a)
+                cr1 = _vcross(arm_p, nrm)
+                w1 = 1.0 / cd["mass_a"] + _vdot(cr1, _vmul(cr1, cd["inertia_a"]))
+                dlambda = -c / (w1 + 1e-6)
+                coll_mask = jnp.where(c < 0, 1.0, 0.0)
+                pimp = _vscale(nrm, dlambda * coll_mask)
+                dq_pos = _vscale(pimp, cs / cd["mass_a"])
+                q_r = _vec_qmul(_vmul(_vcross(arm_p, pimp), cd["inertia_a"]), rot_a)
+                dq_rot = tuple(cs * 0.5 * x for x in q_r)
+
+                r1 = _rotate(_vsub(cpos, pos_a), _qinv(rot_a))
+                p1bar = _vadd(prev_pos[a], _rotate(r1, prev_rot[a]))
+                deltap = _vsub(cpos, p1bar)
+                deltap_t = _vsub(deltap, _vscale(nrm, _vdot(deltap, nrm)))
+                ct = _vnorm_safe(deltap_t)
+                nt = _vscale(deltap_t, 1.0 / (ct + 1e-6))
+                cr1t = _vcross(arm_p, nt)
+                w1t = 1.0 / cd["mass_a"] + _vdot(cr1t, _vmul(cr1t, cd["inertia_a"]))
+                dlambdat = -ct / w1t
+                static_mask = jnp.where(
+                    jnp.abs(dlambdat) < jnp.abs(cd["friction"] * dlambda), 1.0, 0.0
+                )
+                pt = _vscale(nt, dlambdat * static_mask * coll_mask)
+                dq_pos = _vadd(dq_pos, _vscale(pt, cs / cd["mass_a"]))
+                q_rt = _vec_qmul(_vmul(_vcross(arm_p, pt), cd["inertia_a"]), rot_a)
+                dq_rot = tuple(x + cs * 0.5 * y for x, y in zip(dq_rot, q_rt))
+                add(a, dq_pos, dq_rot)
+                per_contact.append(
+                    dict(cd=cd, pos=cpos, normal=nrm, penetration=pen,
+                         dlambda=dlambda * coll_mask)
+                )
+            else:
+                pos_b, rot_b = pos[b], rot[b]
+                pos_p = _vsub(cpos, _vscale(nrm, pen / 2.0))
+                pos_c = _vadd(cpos, _vscale(nrm, pen / 2.0))
+                arm_p = _vsub(pos_p, pos_a)
+                arm_c = _vsub(pos_c, pos_b)
+                c = -pen
+                cr1 = _vcross(arm_p, nrm)
+                w1 = 1.0 / cd["mass_a"] + _vdot(cr1, _vmul(cr1, cd["inertia_a"]))
+                cr2 = _vcross(arm_c, nrm)
+                w2 = 1.0 / cd["mass_b"] + _vdot(cr2, _vmul(cr2, cd["inertia_b"]))
+                dlambda = -c / (w1 + w2 + 1e-6)
+                coll_mask = jnp.where(c < 0, 1.0, 0.0)
+                pimp = _vscale(nrm, dlambda * coll_mask)
+                dq_p_pos = _vscale(pimp, cs / cd["mass_a"])
+                q_pr = _vec_qmul(_vmul(_vcross(arm_p, pimp), cd["inertia_a"]), rot_a)
+                dq_p_rot = tuple(cs * 0.5 * x for x in q_pr)
+                dq_c_pos = _vscale(pimp, -cs / cd["mass_b"])
+                q_cr = _vec_qmul(_vmul(_vcross(arm_c, pimp), cd["inertia_b"]), rot_b)
+                dq_c_rot = tuple(-cs * 0.5 * x for x in q_cr)
+
+                r1 = _rotate(_vsub(cpos, pos_a), _qinv(rot_a))
+                r2 = _rotate(_vsub(cpos, pos_b), _qinv(rot_b))
+                p1bar = _vadd(prev_pos[a], _rotate(r1, prev_rot[a]))
+                p2bar = _vadd(prev_pos[b], _rotate(r2, prev_rot[b]))
+                deltap = _vsub(_vsub(cpos, p1bar), _vsub(cpos, p2bar))
+                deltap_t = _vsub(deltap, _vscale(nrm, _vdot(deltap, nrm)))
+                arm_p2 = _vsub(cpos, pos_a)
+                arm_c2 = _vsub(cpos, pos_b)
+                ct = _vnorm_safe(deltap_t)
+                nt = _vscale(deltap_t, 1.0 / (ct + 1e-6))
+                cr1t = _vcross(arm_p2, nt)
+                w1t = 1.0 / cd["mass_a"] + _vdot(cr1t, _vmul(cr1t, cd["inertia_a"]))
+                cr2t = _vcross(arm_c2, nt)
+                w2t = 1.0 / cd["mass_b"] + _vdot(cr2t, _vmul(cr2t, cd["inertia_b"]))
+                dlambdat = -ct / (w1t + w2t)
+                static_mask = jnp.where(jnp.abs(dlambdat) < jnp.abs(dlambda), 1.0, 0.0)
+                pt = _vscale(nt, dlambdat * static_mask * coll_mask)
+                dq_p_pos = _vadd(dq_p_pos, _vscale(pt, cs / cd["mass_a"]))
+                q_prt = _vec_qmul(_vmul(_vcross(arm_p2, pt), cd["inertia_a"]), rot_a)
+                dq_p_rot = tuple(x + cs * 0.5 * y for x, y in zip(dq_p_rot, q_prt))
+                dq_c_pos = _vadd(dq_c_pos, _vscale(pt, -cs / cd["mass_b"]))
+                npt = _vscale(pt, -1.0)
+                q_crt = _vec_qmul(_vmul(_vcross(arm_c2, npt), cd["inertia_b"]), rot_b)
+                dq_c_rot = tuple(x + cs * 0.5 * y for x, y in zip(dq_c_rot, q_crt))
+                add(a, dq_p_pos, dq_p_rot)
+                add(b, dq_c_pos, dq_c_rot)
+                per_contact.append(
+                    dict(cd=cd, pos=cpos, normal=nrm, penetration=pen,
+                         dlambda=dlambda)
+                )
 
         zero = jnp.zeros_like(pos[0][0])
-        dpos, drot = [], []
-        for b in range(nb):
-            if acc_pos[b] is None:
-                dpos.append((zero, zero, zero))
-                drot.append((zero, zero, zero, zero))
-            else:
-                denom = 1e-6 + counts[b]
-                dpos.append(tuple(x / denom for x in acc_pos[b]))
-                drot.append(tuple(x / denom for x in acc_rot[b]))
+        dpos = [(zero, zero, zero) for _ in range(nb)]
+        drot = [(zero, zero, zero, zero) for _ in range(nb)]
+        for (grp, bidx), acc in acc_pos.items():
+            denom = 1e-6 + counts[(grp, bidx)]
+            dpos[bidx] = _vadd(dpos[bidx], tuple(x / denom for x in acc))
+            drot[bidx] = tuple(
+                x + y / denom for x, y in zip(drot[bidx], acc_rot[(grp, bidx)])
+            )
         return dpos, drot, per_contact
 
     def contact_velocity_pass(pos, rot, vel, ang, prev_pos, prev_vel, prev_ang, per_contact):
-        """One-way PBD velocity contacts (dynamic friction + restitution)."""
-        acc_vel = [None] * nb
-        acc_ang = [None] * nb
-        counts = [None] * nb
+        """PBD velocity contacts (dynamic friction + restitution), 1/2-way."""
+        acc_vel = {}
+        acc_ang = {}
+        counts = {}
+        cur_grp = [None]
+
+        def add(bidx, dv, da):
+            key = (cur_grp[0], bidx)
+            nz = jnp.where((dv[0] != 0) | (dv[1] != 0) | (dv[2] != 0), 1.0, 0.0)
+            if key not in acc_vel:
+                acc_vel[key], acc_ang[key], counts[key] = dv, da, nz
+            else:
+                acc_vel[key] = _vadd(acc_vel[key], dv)
+                acc_ang[key] = _vadd(acc_ang[key], da)
+                counts[key] = counts[key] + nz
 
         for pc in per_contact:
             cd = pc["cd"]
-            a = cd["a"]
+            cur_grp[0] = cd["grp"]
+            a, b = cd["a"], cd["b"]
             cpos, nrm, pen, dlambda = pc["pos"], pc["normal"], pc["penetration"], pc["dlambda"]
-            pos_a = pos[a]
-            arm = _vsub(cpos, pos_a)
-            rel_vel = _vadd(vel[a], _vcross(ang[a], arm))
+            arm_a = _vsub(cpos, pos[a])
+            if cd["one_way"]:
+                rel_vel = _vadd(vel[a], _vcross(ang[a], arm_a))
+            else:
+                arm_b = _vsub(cpos, pos[b])
+                rel_vel = _vsub(
+                    _vadd(vel[a], _vcross(ang[a], arm_a)),
+                    _vadd(vel[b], _vcross(ang[b], arm_b)),
+                )
             v_n = _vdot(rel_vel, nrm)
             v_t = _vsub(rel_vel, _vscale(nrm, v_n))
             v_t_norm = _vnorm_safe(v_t)
             v_t_dir = _vscale(v_t, 1.0 / (1e-6 + v_t_norm))
-
             dvel_mag = -jnp.minimum(
                 cd["friction"] * jnp.abs(dlambda) / (2.0 * h), v_t_norm
             )
             dvel = _vscale(v_t_dir, dvel_mag)
-            angw = _vcross(arm, v_t_dir)
-            w = 1.0 / cd["mass_a"] + _vdot(angw, angw)
-            p_dyn = _vscale(dvel, 1.0 / (w + 1e-6))
+            if cd["one_way"]:
+                angw = _vcross(arm_a, v_t_dir)
+                w = 1.0 / cd["mass_a"] + _vdot(angw, angw)  # no inertia (ref parity)
+                p_dyn = _vscale(dvel, 1.0 / (w + 1e-6))
+            else:
+                angw1 = _vcross(arm_a, v_t_dir)
+                angw2 = _vcross(arm_b, v_t_dir)
+                w1 = 1.0 / cd["mass_a"] + _vdot(angw1, _vmul(angw1, cd["inertia_a"]))
+                w2 = 1.0 / cd["mass_b"] + _vdot(angw2, _vmul(angw2, cd["inertia_b"]))
+                p_dyn = _vscale(dvel, 1.0 / (w1 + w2 + 1e-6))
 
-            arm_old = _vsub(cpos, prev_pos[a])
-            rel_vel_old = _vadd(prev_vel[a], _vcross(prev_ang[a], arm_old))
+            arm_a_old = _vsub(cpos, prev_pos[a])
+            rel_vel_old = _vadd(prev_vel[a], _vcross(prev_ang[a], arm_a_old))
+            if not cd["one_way"]:
+                arm_b_old = _vsub(cpos, prev_pos[b])
+                rel_vel_old = _vsub(
+                    rel_vel_old, _vadd(prev_vel[b], _vcross(prev_ang[b], arm_b_old))
+                )
             v_n_old = _vdot(rel_vel_old, nrm)
 
             rest_mag = -v_n - jnp.minimum(cd["elasticity"] * v_n_old, 0.0)
             dv_rest = _vscale(nrm, rest_mag)
             c = _vnorm_safe(dv_rest)
             nr = _vscale(dv_rest, 1.0 / (c + 1e-6))
-            cr1 = _vcross(arm, nr)
+            cr1 = _vcross(arm_a, nr)
             w1r = 1.0 / cd["mass_a"] + _vdot(cr1, _vmul(cr1, cd["inertia_a"]))
-            dlambda_rest = c / (w1r + 1e-6)
-            sinking = jnp.where(v_n_old <= -vel_threshold, 1.0, 0.0)
+            if cd["one_way"]:
+                dlambda_rest = c / (w1r + 1e-6)
+                sinking = jnp.where(v_n_old <= -vel_threshold, 1.0, 0.0)
+            else:
+                arm_c_r = _vsub(_vadd(cpos, _vscale(nrm, pen)), pos[b])
+                cr2 = _vcross(arm_c_r, nr)
+                w2r = 1.0 / cd["mass_b"] + _vdot(cr2, _vmul(cr2, cd["inertia_b"]))
+                dlambda_rest = c / (w1r + w2r + 1e-6)
+                sinking = jnp.where(v_n_old <= 0.0, 1.0, 0.0)
 
             static_mask = jnp.where(pen > 0, 1.0, 0.0)
-            p = tuple(
+            pimp = tuple(
                 (dlambda_rest * sinking * n_ + pd) * static_mask
                 for n_, pd in zip(nr, p_dyn)
             )
-
-            dvel_out = _vscale(p, 1.0 / cd["mass_a"])
-            dang_out = _vcross(_vmul(arm, cd["inertia_a"]), p)
-
-            nonzero = jnp.where(
-                (dvel_out[0] != 0) | (dvel_out[1] != 0) | (dvel_out[2] != 0), 1.0, 0.0
-            )
-            if acc_vel[a] is None:
-                acc_vel[a], acc_ang[a], counts[a] = dvel_out, dang_out, nonzero
-            else:
-                acc_vel[a] = _vadd(acc_vel[a], dvel_out)
-                acc_ang[a] = _vadd(acc_ang[a], dang_out)
-                counts[a] = counts[a] + nonzero
+            add(a, _vscale(pimp, 1.0 / cd["mass_a"]),
+                _vcross(_vmul(arm_a, cd["inertia_a"]), pimp))
+            if not cd["one_way"]:
+                npimp = _vscale(pimp, -1.0)
+                add(b, _vscale(npimp, 1.0 / cd["mass_b"]),
+                    _vcross(_vmul(arm_b, cd["inertia_b"]), npimp))
 
         zero = jnp.zeros_like(pos[0][0])
-        dvel, dang = [], []
-        for b in range(nb):
-            if acc_vel[b] is None:
-                dvel.append((zero, zero, zero))
-                dang.append((zero, zero, zero))
-            else:
-                denom = 1e-6 + counts[b]
-                dvel.append(tuple(x / denom for x in acc_vel[b]))
-                dang.append(tuple(x / denom for x in acc_ang[b]))
-        return dvel, dang
+        dvel_out = [(zero, zero, zero) for _ in range(nb)]
+        dang_out = [(zero, zero, zero) for _ in range(nb)]
+        for (grp, bidx), acc in acc_vel.items():
+            denom = 1e-6 + counts[(grp, bidx)]
+            dvel_out[bidx] = _vadd(dvel_out[bidx], tuple(x / denom for x in acc))
+            dang_out[bidx] = _vadd(
+                dang_out[bidx], tuple(x / denom for x in acc_ang[(grp, bidx)])
+            )
+        return dvel_out, dang_out
 
     # ----- integrator pieces -----
 
-    def update_acc(vel, ang, dang_list):
+    def update_acc(vel, ang, dvel_list, dang_list):
         nvel, nang = [], []
         for b in range(nb):
             v = tuple(
-                (vel_decay * vel[b][k] + gravity[k] * dt) * f(pos_mask[b][k])
+                (vel_decay * vel[b][k] + (dvel_list[b][k] + gravity[k]) * dt)
+                * f(pos_mask[b][k])
                 for k in range(3)
             )
             a_ = tuple(
@@ -620,8 +906,8 @@ def _build_tile_step(sys: System):
 
     def half_substep(pos, rot, vel, ang, act, with_contacts, contact_vel_acc, contact_ang_acc):
         prev = (pos, rot, vel, ang)
-        dang = actuator_joint_damp_dp(pos, rot, vel, ang, act)
-        vel, ang = update_acc(vel, ang, dang)
+        dvel, dang = actuator_joint_damp_dp(pos, rot, vel, ang, act)
+        vel, ang = update_acc(vel, ang, dvel, dang)
         pos, rot = kinetic(pos, rot, vel, ang)
         dpos_j, drot_j = pbd_joint_dq(pos, rot)
         pos, rot = update_pos(pos, rot, dpos_j, drot_j)
@@ -697,7 +983,6 @@ def build_step_fn(sys: System, num_envs: int, tile: int = 512):
     tile = min(tile, num_envs)
     assert num_envs % tile == 0
     nb = sys.num_bodies
-    na = sys.num_joint_dof + sys.num_forces_dof
     tile_step = _build_tile_step(sys)
 
     def kernel(pos_ref, rot_ref, vel_ref, ang_ref, act_ref,
@@ -712,28 +997,35 @@ def build_step_fn(sys: System, num_envs: int, tile: int = 512):
         )
 
     grid = (num_envs // tile,)
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec(nb, 3), spec(nb, 4), spec(nb, 3), spec(nb, 3),
-                  pl.BlockSpec((na, tile), lambda i: (0, i), memory_space=pltpu.VMEM)],
-        out_specs=[spec(nb, 3), spec(nb, 4), spec(nb, 3), spec(nb, 3),
-                   spec(nb, 3), spec(nb, 3)],
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 4, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
-            jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
-        ],
-    )
+
+    @functools.lru_cache(maxsize=None)
+    def make_call(na):
+        # act width follows the env's action vector (it can exceed the
+        # joint+force dof count when actions carry padded/unused dims)
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[spec(nb, 3), spec(nb, 4), spec(nb, 3), spec(nb, 3),
+                      pl.BlockSpec((na, tile), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=[spec(nb, 3), spec(nb, 4), spec(nb, 3), spec(nb, 3),
+                       spec(nb, 3), spec(nb, 3)],
+            out_shape=[
+                jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 4, num_envs), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
+                jax.ShapeDtypeStruct((nb, 3, num_envs), jnp.float32),
+            ],
+        )
 
     from brax_tpu.sim.types import DP
 
     def step(qp: QP, act):
         # (N, nb, C) -> (nb, C, N) rows-in-lanes layout
         t = lambda x: jnp.transpose(x, (1, 2, 0))
+        call = make_call(act.shape[-1])
         outs = call(t(qp.pos), t(qp.rot), t(qp.vel), t(qp.ang), act.T)
         u = lambda x: jnp.transpose(x, (2, 0, 1))
         qp_out = QP(pos=u(outs[0]), rot=u(outs[1]), vel=u(outs[2]), ang=u(outs[3]))
@@ -765,9 +1057,9 @@ _CUSTOM_CACHE = {}
 def enable(on: bool = True):
     """Globally enables the fused-kernel dispatch for vmapped sys.step.
 
-    Opt-in: the kernel matches the jnp path to float32 round-off but is not
-    differentiable, so APG must leave it off.  Rollout-only consumers (bench,
-    PPO/SAC/ES/ARS acting) can turn it on.
+    Opt-in; the kernel matches the jnp path to float32 round-off.
+    Differentiation works (custom VJP recomputes the backward through the
+    jnp step), at the cost of one extra XLA forward when grads are taken.
     """
     global _ENABLED
     _ENABLED = on
@@ -775,6 +1067,39 @@ def enable(on: bool = True):
 
 def enabled() -> bool:
     return _ENABLED
+
+
+def _with_vjp(sys: System, kernel_fn):
+    """Makes the fused kernel differentiable: Pallas forward, XLA backward.
+
+    The Mosaic kernel has no autodiff rule, so the backward pass re-derives
+    gradients through the jnp reference step (jax.vjp of the vmapped
+    _raw_step) — the two paths agree to float32 round-off, so gradients are
+    consistent with the kernel's primal outputs.  Rollout forward speed keeps
+    the kernel win; differentiating (APG) pays one extra XLA forward.
+    """
+    from brax_tpu.sim import system as system_mod
+
+    @jax.custom_vjp
+    def step(qp, act):
+        return kernel_fn(qp, act)
+
+    def fwd(qp, act):
+        return kernel_fn(qp, act), (qp, act)
+
+    def bwd(res, ct):
+        qp, act = res
+        _, vjp = jax.vjp(
+            lambda q, a: jax.vmap(system_mod._raw_step, in_axes=(None, 0, 0))(
+                sys, q, a
+            ),
+            qp,
+            act,
+        )
+        return vjp(ct)
+
+    step.defvjp(fwd, bwd)
+    return step
 
 
 def custom_step_for(sys: System):
@@ -819,6 +1144,7 @@ def custom_step_for(sys: System):
                     sys, axis_size,
                     tile=256 if axis_size % 256 == 0 else axis_size,
                 )
+                fn = _with_vjp(sys, fn)
                 _STEP_CACHE[(key, axis_size)] = fn
             out = fn(qp, act)
             return out, out_batched

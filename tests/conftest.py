@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# the sandbox's sitecustomize imports jax at interpreter startup (to register
+# the axon PJRT plugin), so jax has already latched jax_platforms from the
+# pre-set env; the env write above is too late — update the live config too
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: the CI box has one CPU core, so cold-compiling
 # the whole suite dominates wall time; warm runs reuse every executable
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_test_cache")
