@@ -75,6 +75,8 @@ def train(
     extra_loss_fn=None,
     extra_learning_rate: float = 3e-4,
     reward_relabel_fn=None,
+    checkpoint_dir: Optional[str] = None,
+    restore_checkpoint_path: Optional[str] = None,
 ):
     """PPO training; returns (make_policy, params, metrics).
 
@@ -309,6 +311,34 @@ def train(
             extra_optimizer.init(extra_params) if extra_loss_fn is not None else None
         ),
     )
+    # full-state checkpointing (optimizer + normalizer + step counter), an
+    # upgrade over the reference's params-only pickles (io/model.py:23-32):
+    # training resumes exactly where it stopped
+    checkpointer = None
+    if checkpoint_dir or restore_checkpoint_path:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        if restore_checkpoint_path is None and checkpoint_dir:
+            # auto-resume from the newest checkpoint in the directory
+            if os.path.isdir(checkpoint_dir):
+                steps = sorted(
+                    d for d in os.listdir(checkpoint_dir) if d.startswith("step_")
+                )
+                if steps:
+                    restore_checkpoint_path = os.path.join(
+                        os.path.abspath(checkpoint_dir), steps[-1]
+                    )
+        if restore_checkpoint_path:
+            training_state = checkpointer.restore(
+                restore_checkpoint_path,
+                jax.tree_util.tree_map(
+                    lambda x: ocp.utils.to_shape_dtype_struct(x), training_state
+                ),
+            )
+
     training_state = mesh_utils.put_replicated(training_state, mesh)
 
     key_envs = jax.random.split(key_env, num_envs)
@@ -358,6 +388,14 @@ def train(
                 training_metrics,
             )
             progress_fn(current_step, metrics)
+            if checkpoint_dir:
+                import os
+
+                path = os.path.join(
+                    os.path.abspath(checkpoint_dir), f"step_{current_step:012d}"
+                )
+                checkpointer.save(path, training_state)
+                checkpointer.wait_until_finished()
 
     total_steps = current_step
     assert total_steps >= num_timesteps
