@@ -77,6 +77,7 @@ def train(
     reward_relabel_fn=None,
     checkpoint_dir: Optional[str] = None,
     restore_checkpoint_path: Optional[str] = None,
+    profiler_dir: Optional[str] = None,
 ):
     """PPO training; returns (make_policy, params, metrics).
 
@@ -377,9 +378,20 @@ def train(
         epoch_keys = mesh_utils.put_env_sharded(
             jax.random.split(epoch_key, device_count), mesh
         )
-        training_state, env_state, training_metrics = training_epoch_with_timing(
-            training_state, env_state, epoch_keys
-        )
+        # profile the second epoch (first is dominated by jit compilation):
+        # a device trace viewable in tensorboard/xprof (SURVEY §5 rebuild
+        # note — the reference has no profiler integration)
+        if profiler_dir and it == 1 and jax.process_index() == 0:
+            with jax.profiler.trace(profiler_dir):
+                training_state, env_state, training_metrics = (
+                    training_epoch_with_timing(
+                        training_state, env_state, epoch_keys
+                    )
+                )
+        else:
+            training_state, env_state, training_metrics = (
+                training_epoch_with_timing(training_state, env_state, epoch_keys)
+            )
         current_step = int(training_state.env_steps)
 
         if jax.process_index() == 0:

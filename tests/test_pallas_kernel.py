@@ -70,6 +70,32 @@ def test_tile_step_math_in_contact(ant_batch):
     np.testing.assert_allclose(np.asarray(u(outs[2])), np.asarray(qp_ref.vel), atol=3e-3)
 
 
+def test_tile_step_math_humanoid():
+    """Kernel math parity on a spherical-joint + capsule-capsule env."""
+    from brax_tpu.envs import humanoid as humanoid_mod
+
+    env = humanoid_mod.Humanoid()
+    sys_ = env.sys
+    assert kernels.supported(sys_)
+    n = 16
+    qp = jax.vmap(lambda k: env.reset(k).qp)(
+        jax.random.split(jax.random.PRNGKey(0), n)
+    )
+    act = jax.random.uniform(
+        jax.random.PRNGKey(7), (n, env.action_size), minval=-1, maxval=1
+    )
+    step_ref = jax.jit(jax.vmap(sys_.step, in_axes=(0, 0)))
+    for _ in range(5):
+        qp, _ = step_ref(qp, act)
+    tile_step = kernels._build_tile_step(sys_)
+    t = lambda x: jnp.transpose(x, (1, 2, 0))
+    u = lambda x: jnp.transpose(x, (2, 0, 1))
+    outs = jax.jit(tile_step)(t(qp.pos), t(qp.rot), t(qp.vel), t(qp.ang), act.T)
+    qp_ref, _ = step_ref(qp, act)
+    np.testing.assert_allclose(np.asarray(u(outs[0])), np.asarray(qp_ref.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(u(outs[3])), np.asarray(qp_ref.ang), atol=5e-3)
+
+
 def test_dispatch_cpu_fallback_exact(ant_batch):
     """With the kernel globally enabled on CPU, results stay bit-identical
     (the custom_vmap rule falls back to plain vmap off-TPU)."""
