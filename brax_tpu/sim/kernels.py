@@ -160,12 +160,18 @@ def _signed_angle(axis, ref_p, ref_c):
 
 def supported(sys: System) -> bool:
     """True if the fused kernel covers this system's features."""
-    if sys.dynamics_mode != "pbd":
+    if sys.dynamics_mode not in ("pbd", "legacy_spring"):
         return False
     if sys.collider_cutoff:
         return False  # dynamic pair culling needs traced gathers
     for g in sys.joint_groups:
-        if g.kind not in ("revolute", "spherical"):
+        if g.kind not in (
+            "revolute",
+            "spherical",
+            "spring_revolute",
+            "spring_universal",
+            "spring_spherical",
+        ):
             return False
     for a in sys.actuator_groups:
         if a.kind not in ("torque", "angle"):
@@ -216,6 +222,7 @@ def _build_tile_step(sys: System):
     cs = f(sys.solver.collide_scale)
     h = f(sys.solver.h)
     vel_threshold = f(sys.solver.velocity_threshold)
+    baumgarte_erp = f(sys.solver.baumgarte_erp)
 
     # joint tables (all revolute; checked by supported())
     joints = []
@@ -228,6 +235,10 @@ def _build_tile_step(sys: System):
         ad = onp.asarray(g.angular_damping, onp.float64)
         sp = onp.asarray(g.scale_pos, onp.float64)
         sa = onp.asarray(g.scale_ang, onp.float64)
+        spring = g.kind.startswith("spring_")
+        stiffness = onp.asarray(g.stiffness, onp.float64) if spring else None
+        sdamp = onp.asarray(g.spring_damping, onp.float64) if spring else None
+        lstr = onp.asarray(g.limit_strength, onp.float64) if spring else None
         for j in range(g.n):
             joints.append(
                 dict(
@@ -249,6 +260,9 @@ def _build_tile_step(sys: System):
                     mass_c=f(mass[int(g.child.a[j])]),
                     inertia_p=tuple(map(f, inv_inertia[int(g.parent.a[j])])),
                     inertia_c=tuple(map(f, inv_inertia[int(g.child.a[j])])),
+                    stiffness=f(stiffness[j]) if spring else 0.0,
+                    spring_damping=f(sdamp[j]) if spring else 0.0,
+                    limit_strength=f(lstr[j]) if spring else 0.0,
                 )
             )
 
@@ -366,10 +380,10 @@ def _build_tile_step(sys: System):
         """axis_angle parity (joints.axis_angle): per-dof axes + angles."""
         a_p = [_rotate(jd["axis_p"][k], rot_p) for k in range(3)]
         a_c = [_rotate(jd["axis_c"][k], rot_c) for k in range(3)]
-        if jd["kind"] == "revolute":
+        if jd["kind"] in ("revolute", "spring_revolute"):
             psi = _signed_angle(a_p[0], a_p[2], a_c[2])
             return [a_p[0]], [psi]
-        # spherical (line-of-nodes x-y'-z'' euler), joints.py:142-164
+        # universal/spherical (line-of-nodes x-y'-z'' euler), joints.py:142-164
         line, _ = _normalize(_vcross(a_c[2], a_p[0]), 1e-10)
         psi = _signed_angle(a_p[0], a_p[1], line)
         in_xz = _vadd(
@@ -379,11 +393,13 @@ def _build_tile_step(sys: System):
         in_xz, _ = _normalize(in_xz, 1e-10)
         ang_between = _vdot(in_xz, a_p[0])
         theta = _acos(ang_between) * jnp.sign(_vdot(a_p[0], a_c[2]))
+        if jd["kind"] == "spring_universal":
+            return [a_p[0], a_c[1]], [psi, theta]
         neg_a3c = _vscale(a_c[2], -1.0)
         phi = _signed_angle(neg_a3c, a_c[1], line)
         return [a_p[0], a_c[1], a_c[2]], [psi, theta, phi]
 
-    def actuator_joint_damp_dp(pos, rot, vel, ang, act):
+    def actuator_joint_damp_dp(pos, rot, vel, ang, act, joint_damp=True):
         """Accumulated acceleration-level dp: joint damping, torque/angle
         actuators (angular), thruster/twister forces (linear/angular)."""
         dang_acc = {}
@@ -392,8 +408,9 @@ def _build_tile_step(sys: System):
         def add(acc, b, v):
             acc[b] = v if b not in acc else _vadd(acc[b], v)
 
-        # joint angular damping (joints.damp)
-        for jd in joints:
+        # joint angular damping (joints.damp); spring mode folds its angular
+        # damping into the spring torque instead
+        for jd in joints if joint_damp else ():
             tq = _vscale(_vsub(ang[jd["p"]], ang[jd["c"]]), -jd["angular_damping"])
             add(dang_acc, jd["p"], _vmul(tq, jd["inertia_p"]))
             add(dang_acc, jd["c"], _vscale(_vmul(tq, jd["inertia_c"]), -1.0))
@@ -438,6 +455,161 @@ def _build_tile_step(sys: System):
             [dvel_acc.get(b, z3) for b in range(nb)],
             [dang_acc.get(b, z3) for b in range(nb)],
         )
+
+    def spring_joint_dp(pos, rot, vel, ang):
+        """Acceleration-level spring joint forces (joints.spring_apply)."""
+        dang_acc = {}
+        dvel_acc = {}
+
+        def add(acc, b, v):
+            acc[b] = v if b not in acc else _vadd(acc[b], v)
+
+        for jd in joints:
+            bp, bc = jd["p"], jd["c"]
+            rot_p, rot_c = rot[bp], rot[bc]
+            # anchor world positions/velocities (QP.to_world)
+            off_p_w = _rotate(jd["off_p"], rot_p)
+            off_c_w = _rotate(jd["off_c"], rot_c)
+            pos_p = _vadd(pos[bp], off_p_w)
+            pos_c = _vadd(pos[bc], off_c_w)
+            vel_p = _vadd(vel[bp], _vcross(ang[bp], off_p_w))
+            vel_c = _vadd(vel[bc], _vcross(ang[bc], off_c_w))
+
+            impulse = _vadd(
+                _vscale(_vsub(pos_p, pos_c), jd["stiffness"]),
+                _vscale(_vsub(vel_p, vel_c), jd["spring_damping"]),
+            )
+            add(dvel_acc, bp, _vscale(impulse, -1.0 / jd["mass_p"]))
+            add(dang_acc, bp, _vmul(_vcross(off_p_w, _vscale(impulse, -1.0)), jd["inertia_p"]))
+            add(dvel_acc, bc, _vscale(impulse, 1.0 / jd["mass_c"]))
+            add(dang_acc, bc, _vmul(_vcross(off_c_w, impulse), jd["inertia_c"]))
+
+            axes, angles = joint_axes_angles(jd, rot_p, rot_c)
+            zero = jnp.zeros_like(pos[0][0])
+            if jd["kind"] == "spring_revolute":
+                axis, angle = axes[0], angles[0]
+                axis_c_x = _rotate(jd["axis_c"][0], rot_c)
+                torque = _vscale(_vcross(axis, axis_c_x), jd["stiffness"])
+                lo, hi = jd["limits"][0]
+                dang = jnp.where(angle < lo, lo - angle, 0.0)
+                dang = jnp.where(angle > hi, hi - angle, dang)
+                torque = _vsub(torque, _vscale(axis, jd["limit_strength"] * dang))
+            elif jd["kind"] == "spring_universal":
+                axis_1, axis_2 = axes
+                proj = _vsub(axis_2, _vscale(axis_1, _vdot(axis_2, axis_1)))
+                proj, _ = _normalize(proj, 0.0)
+                torque = _vscale(_vcross(proj, axis_2), jd["limit_strength"] / 5.0)
+                for d in range(2):
+                    lo, hi = jd["limits"][d]
+                    dang = jnp.where(angles[d] < lo, lo - angles[d], 0.0)
+                    dang = jnp.where(angles[d] > hi, hi - angles[d], dang)
+                    torque = _vsub(
+                        torque, _vscale(axes[d], jd["limit_strength"] * dang)
+                    )
+            else:  # spring_spherical
+                torque = (zero, zero, zero)
+                for d in range(3):
+                    lo, hi = jd["limits"][d]
+                    dang = jnp.where(angles[d] < lo, lo - angles[d], 0.0)
+                    dang = jnp.where(angles[d] > hi, hi - angles[d], dang)
+                    torque = _vsub(
+                        torque, _vscale(axes[d], jd["limit_strength"] * dang)
+                    )
+
+            torque = _vsub(
+                torque,
+                _vscale(_vsub(ang[bp], ang[bc]), jd["angular_damping"]),
+            )
+            add(dang_acc, bp, _vmul(torque, jd["inertia_p"]))
+            add(dang_acc, bc, _vscale(_vmul(torque, jd["inertia_c"]), -1.0))
+
+        zero = jnp.zeros_like(pos[0][0])
+        z3 = (zero, zero, zero)
+        return (
+            [dvel_acc.get(b, z3) for b in range(nb)],
+            [dang_acc.get(b, z3) for b in range(nb)],
+        )
+
+    def contact_spring_pass(pos, rot, vel, ang):
+        """Velocity-level spring contact impulses (colliders.spring_apply)."""
+        acc_vel = {}
+        acc_ang = {}
+        counts = {}
+        cur_grp = [None]
+
+        def add(bidx, dv, da):
+            key = (cur_grp[0], bidx)
+            nz = jnp.where((dv[0] != 0) | (dv[1] != 0) | (dv[2] != 0), 1.0, 0.0)
+            if key not in acc_vel:
+                acc_vel[key], acc_ang[key], counts[key] = dv, da, nz
+            else:
+                acc_vel[key] = _vadd(acc_vel[key], dv)
+                acc_ang[key] = _vadd(acc_ang[key], da)
+                counts[key] = counts[key] + nz
+
+        for cd in contacts:
+            cur_grp[0] = cd["grp"]
+            a, b = cd["a"], cd["b"]
+            cpos, nrm, pen = narrowphase(cd, pos, rot, None, None)
+            arm_a = _vsub(cpos, pos[a])
+            cvel = _vadd(vel[a], _vcross(ang[a], arm_a))
+            if not cd["one_way"]:
+                arm_b = _vsub(cpos, pos[b])
+                cvel = _vsub(cvel, _vadd(vel[b], _vcross(ang[b], arm_b)))
+
+            baumgarte_vel = baumgarte_erp * pen
+            normal_vel = _vdot(nrm, cvel)
+            temp1 = _vmul(_vcross(arm_a, nrm), cd["inertia_a"])
+            if cd["one_way"]:
+                ang_w = _vdot(nrm, _vcross(temp1, arm_a))
+                denom = 1.0 / cd["mass_a"] + ang_w
+            else:
+                temp2 = _vmul(_vcross(arm_b, nrm), cd["inertia_b"])
+                ang_w = _vdot(
+                    nrm, _vadd(_vcross(temp1, arm_a), _vcross(temp2, arm_b))
+                )
+                denom = 1.0 / cd["mass_a"] + 1.0 / cd["mass_b"] + ang_w
+
+            impulse = (
+                -1.0 * (1.0 + cd["elasticity"]) * normal_vel + baumgarte_vel
+            ) / denom
+            imp_n = _vscale(nrm, impulse)
+
+            vel_d = _vsub(cvel, _vscale(nrm, normal_vel))
+            vd_norm = _vnorm_safe(vel_d)
+            impulse_d = jnp.minimum(vd_norm / denom, cd["friction"] * impulse)
+            dir_d = _vscale(vel_d, 1.0 / (1e-6 + vd_norm))
+            imp_d = _vscale(dir_d, -impulse_d)
+
+            apply_n = jnp.where(
+                (pen > 0.0) & (normal_vel < 0) & (impulse > 0.0), 1.0, 0.0
+            )
+            apply_d = apply_n * jnp.where(vd_norm > 0.01, 1.0, 0.0)
+
+            p_total = _vadd(_vscale(imp_n, apply_n), _vscale(imp_d, apply_d))
+            add(
+                a,
+                _vscale(p_total, 1.0 / cd["mass_a"]),
+                _vmul(_vcross(arm_a, p_total), cd["inertia_a"]),
+            )
+            if not cd["one_way"]:
+                np_total = _vscale(p_total, -1.0)
+                add(
+                    b,
+                    _vscale(np_total, 1.0 / cd["mass_b"]),
+                    _vmul(_vcross(arm_b, np_total), cd["inertia_b"]),
+                )
+
+        zero = jnp.zeros_like(pos[0][0])
+        dvel_out = [(zero, zero, zero) for _ in range(nb)]
+        dang_out = [(zero, zero, zero) for _ in range(nb)]
+        for (grp, bidx), acc in acc_vel.items():
+            denom = 1e-8 + counts[(grp, bidx)]
+            dvel_out[bidx] = _vadd(dvel_out[bidx], tuple(x / denom for x in acc))
+            dang_out[bidx] = _vadd(
+                dang_out[bidx], tuple(x / denom for x in acc_ang[(grp, bidx)])
+            )
+        return dvel_out, dang_out
 
     def pbd_joint_dq(pos, rot):
         """Position-level joint projection (joints.pbd_apply, revolute)."""
@@ -938,6 +1110,33 @@ def _build_tile_step(sys: System):
         contact_ang_acc = [_vadd(contact_ang_acc[b], dang_c[b]) for b in range(nb)]
         return pos, rot_n, vel_out, ang_out, contact_vel_acc, contact_ang_acc
 
+    def stack_rows(rows, width):
+        return jnp.stack([jnp.stack(r[:width], axis=0) for r in rows], axis=0)
+
+    def spring_substep(pos, rot, vel, ang, act, cva, caa):
+        """One legacy-spring substep (system._spring_step parity)."""
+        pos, rot = kinetic(pos, rot, vel, ang)
+        dvel_j, dang_j = spring_joint_dp(pos, rot, vel, ang)
+        dvel_a, dang_a = actuator_joint_damp_dp(
+            pos, rot, vel, ang, act, joint_damp=False
+        )
+        dvel = [_vadd(a_, b_) for a_, b_ in zip(dvel_j, dvel_a)]
+        dang = [_vadd(a_, b_) for a_, b_ in zip(dang_j, dang_a)]
+        vel, ang = update_acc(vel, ang, dvel, dang)
+
+        dvel_c, dang_c = contact_spring_pass(pos, rot, vel, ang)
+        vel = [
+            tuple((vel[b][k] + dvel_c[b][k]) * f(pos_mask[b][k]) for k in range(3))
+            for b in range(nb)
+        ]
+        ang = [
+            tuple((ang[b][k] + dang_c[b][k]) * f(rot_mask[b][k]) for k in range(3))
+            for b in range(nb)
+        ]
+        cva = [_vadd(cva[b], dvel_c[b]) for b in range(nb)]
+        caa = [_vadd(caa[b], dang_c[b]) for b in range(nb)]
+        return pos, rot, vel, ang, cva, caa
+
     def tile_step(pos_arr, rot_arr, vel_arr, ang_arr, act_arr):
         pos = [body_vecs(pos_arr, b, 3) for b in range(nb)]
         rot = [body_vecs(rot_arr, b, 4) for b in range(nb)]
@@ -948,16 +1147,22 @@ def _build_tile_step(sys: System):
         zero = jnp.zeros_like(pos[0][0])
         cva = [(zero, zero, zero) for _ in range(nb)]
         caa = [(zero, zero, zero) for _ in range(nb)]
+        if sys.dynamics_mode == "legacy_spring":
+            for _ in range(sys.substeps):
+                pos, rot, vel, ang, cva, caa = spring_substep(
+                    pos, rot, vel, ang, act, cva, caa
+                )
+            return (
+                stack_rows(pos, 3), stack_rows(rot, 4), stack_rows(vel, 3),
+                stack_rows(ang, 3), stack_rows(cva, 3), stack_rows(caa, 3),
+            )
         for _ in range(n_substeps):
             pos, rot, vel, ang, cva, caa = half_substep(pos, rot, vel, ang, act, False, cva, caa)
             pos, rot, vel, ang, cva, caa = half_substep(pos, rot, vel, ang, act, True, cva, caa)
 
-        def stack(rows, width):
-            return jnp.stack([jnp.stack(r[:width], axis=0) for r in rows], axis=0)
-
         return (
-            stack(pos, 3), stack(rot, 4), stack(vel, 3), stack(ang, 3),
-            stack(cva, 3), stack(caa, 3),
+            stack_rows(pos, 3), stack_rows(rot, 4), stack_rows(vel, 3),
+            stack_rows(ang, 3), stack_rows(cva, 3), stack_rows(caa, 3),
         )
 
     return tile_step

@@ -96,6 +96,66 @@ def test_tile_step_math_humanoid():
     np.testing.assert_allclose(np.asarray(u(outs[3])), np.asarray(qp_ref.ang), atol=5e-3)
 
 
+def test_tile_step_math_spring_mode():
+    """Spring-mode kernel math parity on a small legacy-spring scene.
+
+    (ant legacy_spring compiles ~20 min on this CPU; a 2-body scene keeps
+    the unrolled substep graph CI-sized.)
+    """
+    from brax_tpu.sim import builder
+    from brax_tpu.sim.config import (
+        Actuator, Body, Capsule, Collider, Config, FrozenAxes, Joint, Plane,
+    )
+    from brax_tpu.sim.types import QP
+
+    cfg = Config(
+        bodies=[
+            Body(name="a", colliders=[Collider(capsule=Capsule(radius=0.1, length=0.6))],
+                 inertia=(0.1, 0.1, 0.1), mass=1.0),
+            Body(name="b", colliders=[Collider(capsule=Capsule(radius=0.1, length=0.6))],
+                 inertia=(0.1, 0.1, 0.1), mass=1.0),
+            Body(name="ground", colliders=[Collider(plane=Plane())],
+                 inertia=(1, 1, 1), mass=1.0, frozen=FrozenAxes(all=True)),
+        ],
+        joints=[
+            Joint(name="j", parent="a", child="b", stiffness=5000.0,
+                  parent_offset=(0, 0, -0.35), child_offset=(0, 0, 0.35),
+                  angle_limits=[(-60, 60)], spring_damping=20.0,
+                  limit_strength=200.0)
+        ],
+        actuators=[Actuator(name="j", joint="j", strength=20.0, kind="torque")],
+        gravity=(0.0, 0.0, -9.8),
+        friction=0.8,
+        dt=0.02,
+        substeps=4,
+        dynamics_mode="legacy_spring",
+    )
+    sys_, art = builder.build(cfg)
+    assert kernels.supported(sys_)
+    n = 16
+    qp = QP(
+        pos=jnp.tile(jnp.array([[0.0, 0.0, 0.8], [0.0, 0.0, 0.2], [0.0, 0.0, 0.0]]), (n, 1, 1)),
+        rot=jnp.tile(jnp.array([1.0, 0.0, 0.0, 0.0]), (n, 3, 1)),
+        vel=jnp.zeros((n, 3, 3)),
+        ang=jnp.zeros((n, 3, 3)),
+    )
+    # jiggle initial states so contacts/limits activate differently per env
+    qp = qp.replace(
+        vel=0.3 * jax.random.normal(jax.random.PRNGKey(0), (n, 3, 3))
+    )
+    act = jax.random.uniform(jax.random.PRNGKey(7), (n, 1), minval=-1, maxval=1)
+    step_ref = jax.jit(jax.vmap(sys_.step, in_axes=(0, 0)))
+    for _ in range(8):
+        qp, _ = step_ref(qp, act)
+    tile_step = kernels._build_tile_step(sys_)
+    t = lambda x: jnp.transpose(x, (1, 2, 0))
+    u = lambda x: jnp.transpose(x, (2, 0, 1))
+    outs = jax.jit(tile_step)(t(qp.pos), t(qp.rot), t(qp.vel), t(qp.ang), act.T)
+    qp_ref, _ = step_ref(qp, act)
+    np.testing.assert_allclose(np.asarray(u(outs[0])), np.asarray(qp_ref.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u(outs[2])), np.asarray(qp_ref.vel), atol=1e-3)
+
+
 def test_dispatch_cpu_fallback_exact(ant_batch):
     """With the kernel globally enabled on CPU, results stay bit-identical
     (the custom_vmap rule falls back to plain vmap off-TPU)."""
