@@ -78,8 +78,19 @@ def train(
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     eval_env: Optional[envs.Env] = None,
     mesh=None,
+    use_fused_kernel=None,
 ):
     """ES training; returns (make_policy, params, metrics)."""
+    # fused Pallas physics for rollouts (see ppo.train): auto-on for TPU
+    import jax as _jax
+
+    from brax_tpu.sim import kernels as _sim_kernels
+
+    if use_fused_kernel is None:
+        use_fused_kernel = _jax.default_backend() == "tpu"
+    _prev_kernel_enabled = _sim_kernels.enabled()
+    _sim_kernels.enable(bool(use_fused_kernel))
+
     num_envs = population_size * 2  # noise + anti-noise
     if jax.process_count() > 1:
         raise ValueError("ES does not support multiple hosts")
@@ -316,4 +327,5 @@ def train(
     assert total_steps >= num_timesteps
 
     params = (training_state.normalizer_params, training_state.policy_params)
+    _sim_kernels.enable(_prev_kernel_enabled)
     return (make_policy, params, metrics)

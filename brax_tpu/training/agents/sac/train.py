@@ -81,8 +81,19 @@ def train(
     checkpoint_logdir: Optional[str] = None,
     eval_env: Optional[envs.Env] = None,
     mesh=None,
+    use_fused_kernel=None,
 ):
     """SAC training; returns (make_policy, params, metrics)."""
+    # fused Pallas physics for rollouts (see ppo.train): auto-on for TPU
+    import jax as _jax
+
+    from brax_tpu.sim import kernels as _sim_kernels
+
+    if use_fused_kernel is None:
+        use_fused_kernel = _jax.default_backend() == "tpu"
+    _prev_kernel_enabled = _sim_kernels.enabled()
+    _sim_kernels.enable(bool(use_fused_kernel))
+
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
     assert num_envs % device_count == 0
@@ -436,4 +447,5 @@ def train(
 
     params = (training_state.normalizer_params, training_state.policy_params)
     mesh_utils.synchronize_hosts()
+    _sim_kernels.enable(_prev_kernel_enabled)
     return (make_policy, params, metrics)
