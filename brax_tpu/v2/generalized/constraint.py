@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from brax_tpu import maths
-from brax_tpu.v2 import scan
+from brax_tpu.v2 import masks
 from brax_tpu.v2.base import Motion, System, Transform
 from brax_tpu.v2.generalized.base import State
 
@@ -29,17 +29,14 @@ def _pt_jac(
     """Translational point jacobian at world pos wrt link link_idx's dofs.
 
     Masks cdof rows to the ancestor chain of link_idx, then moves each dof's
-    motion to the point.  Parity: reference constraint.py:28-58.
+    motion to the point.  Parity: reference constraint.py:28-58 — but the
+    ancestor-chain membership is a static structure matrix (v2/masks.py)
+    indexed by link_idx, not a per-contact tree scan.
     """
-
-    def mask_fn(mask_child, link):
-        mask = link == link_idx
-        if mask_child is not None:
-            mask += mask_child
-        return mask
-
-    mask = scan.tree(sys, mask_fn, "l", jnp.arange(sys.num_links()), reverse=True)
-    mask = jnp.take(mask, sys.dof_link())
+    dof_anc = jnp.asarray(masks.ancestor_dofs(sys))
+    # link_idx == -1 means the world: out-of-range gather clamps/wraps, so
+    # explicitly zero the mask
+    mask = dof_anc[link_idx] * (link_idx > -1)
     cdof = jax.tree_util.tree_map(lambda x: x * mask[:, None], cdof)
     off = Transform.create(pos=pos - com)
     return off.do(cdof).vel

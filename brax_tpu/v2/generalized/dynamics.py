@@ -12,8 +12,8 @@ import jax
 import jax.numpy as jnp
 
 from brax_tpu import maths
-from brax_tpu.v2 import scan
-from brax_tpu.v2.base import Motion, System, Transform
+from brax_tpu.v2 import masks, scan
+from brax_tpu.v2.base import Force, Motion, System, Transform
 from brax_tpu.v2.generalized.base import State
 
 Array = jax.Array
@@ -72,13 +72,11 @@ def transform_com(sys: System, state: State) -> State:
     cdof = Transform.create(pos=com - j.pos).take(dof_link).do(cdof)
     cdof_qd = jax.tree_util.tree_map(lambda x: x * state.qd[:, None], cdof)
 
-    # down the tree: accumulate per-link CoM-frame velocity
-    def cd_fn(cd_parent, cdof_qd, dof_idx):
-        if cd_parent is None:
-            cd_parent = Motion.zero(shape=(1,))
-        return cd_parent.index_sum(dof_idx, cdof_qd)
-
-    cd = scan.tree(sys, cd_fn, "dd", cdof_qd, sys.dof_link(depth=True))
+    # down the tree: accumulate per-link CoM-frame velocity.  The tree prefix
+    # sum is linear, so it is one masked matmul with the static ancestor-dof
+    # indicator instead of a level-by-level scan (see v2/masks.py)
+    dof_anc = jnp.asarray(masks.ancestor_dofs(sys))
+    cd = Motion(ang=dof_anc @ cdof_qd.ang, vel=dof_anc @ cdof_qd.vel)
 
     # cdofd: velocity of each cdof axis, from the velocity accumulated
     # through the preceding dofs of the same link
@@ -124,28 +122,26 @@ def transform_com(sys: System, state: State) -> State:
 
 
 def inverse(sys: System, state: State) -> Array:
-    """RNE bias force: gravity + velocity-product terms (dynamics.py:130-175)."""
+    """RNE bias force: gravity + velocity-product terms (dynamics.py:130-175).
 
-    def cdd_fn(cdd_parent, cdofd, qd, dof_idx):
-        if cdd_parent is None:
-            cdd_parent = Motion.create(vel=-sys.gravity.reshape((1, 3)))
-        return cdd_parent.index_sum(
-            dof_idx, jax.tree_util.tree_map(lambda x: x * qd[:, None], cdofd)
-        )
-
-    cdd = scan.tree(
-        sys, cdd_fn, "ddd", state.cdofd, state.qd, sys.dof_link(depth=True)
+    Both tree reductions (ancestor accumulation of dof accelerations, subtree
+    accumulation of spatial forces) are masked matmuls over static structure
+    matrices — one MXU op each instead of unrolled level scans.
+    """
+    dof_anc = jnp.asarray(masks.ancestor_dofs(sys))
+    cdofd_qd = jax.tree_util.tree_map(
+        lambda x: x * state.qd[:, None], state.cdofd
+    )
+    cdd = Motion(
+        ang=dof_anc @ cdofd_qd.ang,
+        vel=dof_anc @ cdofd_qd.vel - sys.gravity,
     )
 
     # per-link spatial force: I*a + v x (I*v)
     cfrc_flat = state.cinr.mul(cdd) + state.cd.cross(state.cinr.mul(state.cd))
 
-    def cfrc_fn(cfrc_child, cfrc):
-        if cfrc_child is not None:
-            cfrc += cfrc_child
-        return cfrc
-
-    cfrc = scan.tree(sys, cfrc_fn, "l", cfrc_flat, reverse=True)
+    sub = jnp.asarray(masks.subtree_links(sys))
+    cfrc = Force(ang=sub @ cfrc_flat.ang, vel=sub @ cfrc_flat.vel)
     return state.cdof.dot(cfrc.take(sys.dof_link()))
 
 

@@ -1,0 +1,71 @@
+"""Benchmark the v2 generalized pipeline on TPU (ant, batched env.step).
+
+Usage: python tools/bench_v2_generalized.py [batch] [steps]
+Reports env-steps/s for the full env.step (n_frames physics steps + obs +
+reward) and for the bare physics pipeline.step.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from brax_tpu.v2.envs import ant as ant_mod
+from brax_tpu.v2.generalized import pipeline
+
+
+def main():
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    env = ant_mod.Ant(backend="generalized")
+    sysm = env.sys
+
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, batch)
+    reset = jax.jit(jax.vmap(env.reset))
+    t0 = time.perf_counter()
+    state = jax.block_until_ready(reset(keys))
+    print(f"reset jit+run: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    act = jnp.zeros((batch, env.action_size))
+
+    # full env.step.  Warm up twice: a step-produced state can differ from the
+    # reset-produced one in weak-type metadata, and the second compile must not
+    # land inside the timing loop.
+    step = jax.jit(jax.vmap(env.step))
+    t0 = time.perf_counter()
+    state2 = jax.block_until_ready(step(state, act))
+    state2 = jax.block_until_ready(step(state2, act))
+    print(f"env.step jit: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    s = state2
+    for _ in range(steps):
+        s = step(s, act)
+    jax.block_until_ready(s)
+    dt = time.perf_counter() - t0
+    env_sps = batch * steps / dt
+    print(f"env.step:      {env_sps:,.0f} env-steps/s  ({dt/steps*1e3:.2f} ms/step)")
+
+    # bare physics step
+    pstep = jax.jit(jax.vmap(pipeline.step, in_axes=(None, 0, 0)))
+    ps = state.pipeline_state
+    t0 = time.perf_counter()
+    ps2 = jax.block_until_ready(pstep(sysm, ps, act))
+    ps2 = jax.block_until_ready(pstep(sysm, ps2, act))
+    print(f"pipeline.step jit: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    cur = ps2
+    for _ in range(steps):
+        cur = pstep(sysm, cur, act)
+    jax.block_until_ready(cur)
+    dt = time.perf_counter() - t0
+    print(
+        f"pipeline.step: {batch*steps/dt:,.0f} phys-steps/s  ({dt/steps*1e3:.2f} ms/step)"
+    )
+    print(f"RESULT {{\"env_steps_per_sec\": {env_sps:.0f}, \"batch\": {batch}}}")
+
+
+if __name__ == "__main__":
+    main()
