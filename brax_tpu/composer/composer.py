@@ -109,6 +109,7 @@ class Composer:
                 bodies=[b.name for b in comp_cfg.bodies],
                 joints=[j.name for j in comp_cfg.joints],
                 actuators=[a.name for a in comp_cfg.actuators],
+                forces=[fo.name for fo in comp_cfg.forces],
                 term_fn=spec.term_fn,
                 observers=list(desc.pop("observers", spec.observers)),
                 pos=jnp.asarray(desc.pop("pos", (0.0, 0.0, 0.0)), jnp.float32),
@@ -126,6 +127,7 @@ class Composer:
                 angular_damping=comp_cfg.angular_damping,
                 baumgarte_erp=comp_cfg.baumgarte_erp,
             )
+            comp["collide"] = desc.pop("collide", True)
             if comp["frozen"]:
                 for b in comp_cfg.bodies:
                     b.frozen = cfg.FrozenAxes(all=True)
@@ -135,12 +137,15 @@ class Composer:
             self.components[name] = comp
 
         # --- edges ---
+        self.edge_observers = []  # (k1, k2, observer desc)
         for k1, k2 in itertools.combinations(sorted(self.components), 2):
             edge_name = f"{k1}__{k2}"
             v = edges.pop(edge_name, {})
             c1, c2 = self.components[k1], self.components[k2]
             collide_type = v.pop("collide_type", "full")
-            if collide_type == "full":
+            if not (c1["collide"] and c2["collide"]):
+                pass  # a collide=False endpoint suppresses the pair entirely
+            elif collide_type == "full":
                 merged.collide_include += [
                     (a, b) for a in c1["collides"] for b in c2["collides"]
                 ]
@@ -152,6 +157,8 @@ class Composer:
                 reward_descs.append(
                     (f"{rname}__{edge_name}", "edge", rkwargs, (k1, k2))
                 )
+            for obs_desc in v.pop("extra_observers", []):
+                self.edge_observers.append((k1, k2, dict(obs_desc)))
             assert not v, f"unused edge kwargs: {v}"
         assert not edges, f"unknown edges: {sorted(edges)}"
 
@@ -171,7 +178,9 @@ class Composer:
         merged.baumgarte_erp = global_options.get(
             "baumgarte_erp", ref["baumgarte_erp"]
         )
-        merged.dynamics_mode = global_options.get("dynamics_mode", "pbd")
+        # '' lets validate() infer from joint stiffness: pure-PBD components
+        # compose to pbd, spring components (octopus) to legacy_spring
+        merged.dynamics_mode = global_options.get("dynamics_mode", "")
 
         self.config = merged
         self.reward_descs = reward_descs
@@ -200,6 +209,12 @@ class ComponentEnv(base.Env):
             )
             act_offsets[a.name] = list(range(off, off + dofs))
             off += dofs
+        # force action dims follow all actuator dofs, 3 per force
+        # (sim/builder.py::_build_forces)
+        force_offsets = {}
+        for fo in self.art.config.forces:
+            force_offsets[fo.name] = list(range(off, off + 3))
+            off += 3
 
         self.component_meta = {}
         for name, comp in composer.components.items():
@@ -209,11 +224,15 @@ class ComponentEnv(base.Env):
             meta["joint_dof_idx"] = [
                 i for j in comp["joints"] for i in dof_offsets[j]
             ]
-            meta["act_idx"] = [i for a in comp["actuators"] for i in act_offsets[a]]
+            meta["act_idx"] = [
+                i for a in comp["actuators"] for i in act_offsets[a]
+            ] + [i for f in comp["forces"] for i in force_offsets[f]]
             self.component_meta[name] = meta
 
-        # instantiate reward fns
+        # instantiate reward fns; track which components each touches (for
+        # reward_agents group expansion, parity: agent_utils.set_names_info)
         self.reward_fns = {}
+        self._reward_comps = {}
         for rname, kind, rkwargs, comps in composer.reward_descs:
             rkwargs = dict(rkwargs)
             rtype = rkwargs.pop("reward_type")
@@ -228,16 +247,27 @@ class ComponentEnv(base.Env):
                     **rkwargs,
                 )
             self.reward_fns[rname] = fn
+            self._reward_comps[rname] = tuple(comps)
 
-        # multi-agent grouping: per-agent action slices + reward names
+        # multi-agent grouping: per-agent action slices + reward names.
+        # reward_agents=('a',) expands to every reward touching component 'a'
         self.agent_groups = composer.agent_groups
         self.group_action_shapes = {}
         for agent, spec in sorted(self.agent_groups.items()):
             comps = spec.get("action_agents", (agent,))
             idx = [i for c in comps for i in self.component_meta[c]["act_idx"]]
+            names = tuple(spec.get("reward_names", ()))
+            for ragent in spec.get("reward_agents", ()):
+                # exact component-set match (ref component_editor.match_name:
+                # 'a1' matches a1's own rewards, ('a1','a2') matches the edge)
+                rset = (ragent,) if isinstance(ragent, str) else tuple(sorted(ragent))
+                names += tuple(
+                    rn for rn, rcomps in self._reward_comps.items()
+                    if tuple(sorted(rcomps)) == rset
+                )
+            names = tuple(dict.fromkeys(names))
             self.group_action_shapes[agent] = dict(
-                indices=idx, size=len(idx),
-                reward_names=tuple(spec.get("reward_names", ())),
+                indices=idx, size=len(idx), reward_names=names,
             )
 
     @property
@@ -265,10 +295,9 @@ class ComponentEnv(base.Env):
         qp, info = self.sys.step(state.qp, action)
         obs = self._get_obs(qp, info)
 
-        rewards = {
-            name: fn(self, qp, state.qp, action)
-            for name, fn in self.reward_fns.items()
-        }
+        rewards, dones = {}, {}
+        for name, fn in self.reward_fns.items():
+            rewards[name], dones[name] = fn(self, qp, state.qp, action)
         if self.agent_groups:
             per_agent = []
             for agent in self.agent_names:
@@ -279,10 +308,14 @@ class ComponentEnv(base.Env):
         else:
             reward = sum(rewards.values()) if rewards else jnp.zeros(())
 
+        # termination: any component term_fn or any reward-voted done
+        # (caught prey / out of the ring, ref agent_utils.process_agent_rewards)
         done = jnp.zeros(())
         for name, meta in self.component_meta.items():
             if meta["term_fn"] is not None:
                 done = meta["term_fn"](done, qp, meta["root_idx"])
+        for d in dones.values():
+            done = jnp.maximum(done, d)
 
         state.metrics.update({f"reward_{k}": v for k, v in rewards.items()})
         return state.replace(qp=qp, obs=obs, reward=reward, done=done)
@@ -313,6 +346,13 @@ class ComponentEnv(base.Env):
         for name in sorted(self.component_meta):
             entries += observers_lib.component_obs(
                 self, self.component_meta[name], qp, info
+            )
+        for k1, k2, desc in self.composer.edge_observers:
+            entries.append(
+                observers_lib.edge_obs(
+                    self, self.component_meta[k1], self.component_meta[k2],
+                    desc, qp,
+                )
             )
         self.observer_shapes = {k: v.shape for k, v in entries}
         return jnp.concatenate([v for _, v in entries]) if entries else jnp.zeros((0,))

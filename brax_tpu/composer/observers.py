@@ -50,6 +50,16 @@ def component_obs(env, comp: dict, qp: QP, info: Info) -> List[Tuple[str, jnp.nd
     return out
 
 
+def edge_obs(env, comp_a: dict, comp_b: dict, desc: dict, qp: QP):
+    """Edge observer entry (ref ma_descs extra_observers: root_vec)."""
+    kind = desc.get("observer_type", "root_vec")
+    if kind == "root_vec":
+        idx = jnp.asarray(desc.get("indices", (0, 1)), jnp.int32)
+        vec = (qp.pos[comp_a["root_idx"]] - qp.pos[comp_b["root_idx"]])[idx]
+        return (f"{comp_a['name']}__{comp_b['name']}_root_vec", vec)
+    raise ValueError(f"unknown edge observer {kind!r}")
+
+
 def _component_joints(env, comp: dict, qp: QP):
     """Joint angles/velocities restricted to this component's joints."""
     angles, vels = env.sys.joint_angle_vel(qp)

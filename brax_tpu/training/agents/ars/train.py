@@ -184,6 +184,12 @@ def train(
         reward_weight = jnp.where(reward_rank < top_directions, 1, 0)
         reward_weight_double = jnp.concatenate([reward_weight, reward_weight], axis=0)
         reward_std = jnp.std(eval_scores, where=reward_weight_double.astype(bool))
+        # degenerate case: all selected rewards equal (constant-reward envs)
+        # yields std 0 (or nan when nothing is selected) — dividing by it
+        # would poison the params with inf/nan, so fall back to unit scale
+        reward_std = jnp.where(
+            jnp.isfinite(reward_std) & (reward_std > 0), reward_std, 1.0
+        )
 
         noise = jax.tree_util.tree_map(
             lambda x: jnp.sum(

@@ -58,12 +58,16 @@ def put_env_sharded(tree, mesh: Mesh, axis_name: str = AXIS):
 
 
 def synchronize_hosts():
-    """Barrier across processes (parity: pmap.py:30-36)."""
+    """Barrier across processes (parity: pmap.py:30-36).
+
+    Uses the GSPMD-era barrier (an all-device psum under jit via
+    multihost_utils) rather than the reference's pmap idiom.
+    """
     if jax.process_count() == 1:
         return
-    x = jnp.ones([jax.local_device_count()])
-    x = jax.pmap(lambda x: jax.lax.psum(x, "i"), "i")(x)
-    assert x[0] == jax.device_count()
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("brax_tpu_synchronize_hosts")
 
 
 def _fingerprint(tree) -> jnp.ndarray:

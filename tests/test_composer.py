@@ -143,3 +143,92 @@ def test_mappo_trains_two_ant_chase():
     obs = jnp.zeros((env.unwrapped.observation_size,))
     act, _ = policy(obs, jax.random.PRNGKey(0))
     assert act.shape == (16,)
+
+
+def test_mappo_learns_pointmass_follow():
+    """MAPPO actually learns: the follower closes on the moving leader.
+
+    Untrained policies score ~915 on the dist reward (measured); a trained
+    follower reaches ~1240 of the 1344 max."""
+    from brax_tpu.composer import envs as cenvs
+    from brax_tpu.composer.training import mappo
+
+    env = cenvs.create_ma_env(
+        task="follow",
+        main_agent="pointmass",
+        other_agent="pointmass",
+        num_agents=2,
+        episode_length=None,
+        batch_size=None,
+        auto_reset=False,
+    )
+    _, _, metrics = mappo.train(
+        env.unwrapped,
+        num_timesteps=65536,
+        episode_length=64,
+        num_envs=32,
+        num_eval_envs=16,
+        unroll_length=8,
+        batch_size=32,
+        num_minibatches=4,
+        num_updates_per_batch=2,
+        num_evals=2,
+        normalize_observations=True,
+        learning_rate=1e-3,
+    )
+    assert float(metrics["eval/episode_reward_dist__agent0__agent1"]) > 1100
+
+
+def test_ma_descs_build_and_step():
+    """N-agent chase and sumo descs build, step, and expose per-agent groups."""
+    from brax_tpu.composer import envs as cenvs
+
+    env = cenvs.create_ma_env(
+        task="chase",
+        main_agent="pointmass",
+        other_agent="pointmass",
+        num_agents=3,
+        episode_length=20,
+        batch_size=2,
+    )
+    assert env.unwrapped.agent_names == ("agent0", "agent1", "agent2")
+    s = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 2))
+    assert s.reward.shape == (2, 3)
+    s = jax.jit(env.step)(s, jnp.zeros((2, env.action_size)))
+    assert bool(jnp.all(jnp.isfinite(s.obs)))
+
+    env = cenvs.create_ma_env(
+        task="sumo",
+        main_agent="pointmass",
+        other_agent="pointmass",
+        num_agents=2,
+        episode_length=10,
+        batch_size=2,
+    )
+    # 2 agents + ground + 20 frozen non-colliding ring segments
+    assert len(env.unwrapped.component_meta) == 23
+    s = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 2))
+    s = jax.jit(env.step)(s, jnp.zeros((2, env.action_size)))
+    assert bool(jnp.all(jnp.isfinite(s.obs)))
+
+
+def test_octopus_and_pro_ant_components():
+    """Many-body components build and produce finite dynamics."""
+    for comp, expected_act in (("octopus", 26), ("pro_ant", 10)):
+        env = composer.create(
+            components={
+                comp: dict(
+                    component=comp,
+                    component_params=dict(num_legs=5) if comp == "pro_ant" else {},
+                    reward_fns=dict(fwd=dict(reward_type="forward_velocity")),
+                )
+            },
+            episode_length=10,
+            batch_size=2,
+        )
+        assert env.action_size == expected_act
+        s = jax.jit(env.reset)(jax.random.split(jax.random.PRNGKey(0), 2))
+        step = jax.jit(env.step)
+        for _ in range(3):
+            s = step(s, 0.1 * jnp.ones((2, env.action_size)))
+        assert bool(jnp.all(jnp.isfinite(s.obs))), comp
