@@ -1,15 +1,97 @@
 """Headline benchmark: ant env-steps/s at 4096 envs on one chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline target (BASELINE.json): 10M env-steps/s per v5p host.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
+"bound", ...}.  Baseline target (BASELINE.json): 10M env-steps/s per v5p
+host.
+
+Roofline accounting (VERDICT r1 item 6): algorithmic flops per env-step
+come from XLA's own cost analysis of the *unfused* jnp step (the useful
+work, independent of how the fused kernel schedules it); the compute and
+memory roofs are *measured on the same chip* by two microbenchmarks (a
+VMEM-resident FMA chain for the VPU peak, a large-array copy for HBM
+bandwidth) so the %-of-peak is self-calibrating rather than quoting a
+datasheet.  `mfu` = achieved algorithmic flops / measured VPU peak;
+`bound` says which roof the *minimum* (speed-of-light) schedule would hit.
 """
 
 import functools
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+
+def _measure_vpu_peak_flops():
+    """Elementwise-FMA peak (flops/s): a long FMA chain on a VMEM-sized
+    array — compute-bound by construction, so its throughput is the
+    realistic VPU roof for physics (non-MXU) work."""
+    n = 1 << 21  # 8 MB of float32: fits VMEM, amortizes HBM in/out
+    k = 512  # FMAs per element per call
+
+    @jax.jit
+    def chain(x):
+        def body(_, y):
+            return y * 1.000000119 + 1e-7  # not constant-foldable
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    x = jnp.ones((n,), jnp.float32)
+    x = jax.block_until_ready(chain(x))
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = chain(x)
+    jax.block_until_ready(x)
+    dt = time.perf_counter() - t0
+    return 2.0 * k * n * iters / dt  # FMA = 2 flops
+
+
+def _measure_hbm_bw():
+    """Streaming HBM bandwidth (bytes/s): big-array add, read+write."""
+    n = 1 << 26  # 256 MB float32
+    x = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def bump(x):
+        return x + 1.0
+
+    x = jax.block_until_ready(bump(x))
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = bump(x)
+    jax.block_until_ready(x)
+    dt = time.perf_counter() - t0
+    return 2.0 * 4 * n * iters / dt
+
+
+def _algorithmic_flops_per_env_step(env, state, num_envs):
+    """XLA cost-analysis flops of the unfused jnp env.step (per env)."""
+    from brax_tpu.sim import kernels
+
+    kernels.enable(False)
+    try:
+        act = jnp.zeros((num_envs, env.action_size), jnp.float32)
+        compiled = jax.jit(env.step).lower(state, act).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"]) / num_envs
+    finally:
+        kernels.enable(True)
+
+
+def _min_hbm_bytes_per_env_step(state, env, num_envs):
+    """Speed-of-light HBM traffic: state read + state written + action
+    read, once per step (substeps stay VMEM-resident in the fused
+    kernel)."""
+    state_bytes = sum(
+        l.nbytes for l in jax.tree_util.tree_leaves(state) if hasattr(l, "nbytes")
+    )
+    act_bytes = num_envs * env.action_size * 4
+    return (2 * state_bytes + act_bytes) / num_envs
 
 
 def main():
@@ -59,6 +141,29 @@ def main():
 
     sps = num_envs * num_steps * iters / dt
     baseline = 10_000_000.0
+
+    # --- roofline / MFU accounting ---
+    flops_per_step = _algorithmic_flops_per_env_step(env, state, num_envs)
+    bytes_per_step = _min_hbm_bytes_per_env_step(state, env, num_envs)
+    vpu_peak = _measure_vpu_peak_flops()
+    hbm_bw = _measure_hbm_bw()
+    achieved_flops = flops_per_step * sps
+    mfu = achieved_flops / vpu_peak
+    # which roof binds a speed-of-light schedule of this much work
+    t_compute = flops_per_step / vpu_peak
+    t_memory = bytes_per_step / hbm_bw
+    bound = "compute" if t_compute >= t_memory else "memory"
+    sol_sps = 1.0 / max(t_compute, t_memory)
+    print(
+        f"roofline: {flops_per_step:,.0f} flops/env-step, "
+        f"{bytes_per_step:,.0f} B/env-step (min); "
+        f"VPU peak {vpu_peak/1e12:.2f} Tflop/s, HBM {hbm_bw/1e9:.0f} GB/s; "
+        f"achieved {achieved_flops/1e12:.2f} Tflop/s = {mfu*100:.1f}% of VPU "
+        f"peak; {bound}-bound speed-of-light {sol_sps/1e6:.1f}M env-steps/s "
+        f"({sps/sol_sps*100:.1f}% of SoL)",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -66,6 +171,13 @@ def main():
                 "value": round(sps),
                 "unit": "env-steps/s",
                 "vs_baseline": round(sps / baseline, 4),
+                "mfu": round(mfu, 4),
+                "bound": bound,
+                "flops_per_env_step": round(flops_per_step),
+                "min_bytes_per_env_step": round(bytes_per_step),
+                "vpu_peak_tflops": round(vpu_peak / 1e12, 2),
+                "hbm_bw_gbps": round(hbm_bw / 1e9, 1),
+                "pct_of_speed_of_light": round(100 * sps / sol_sps, 1),
             }
         )
     )
