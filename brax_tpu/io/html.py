@@ -1,8 +1,9 @@
 """Standalone HTML trajectory viewer.
 
-Embeds the scene/trajectory JSON and our three.js viewer
-(brax_tpu/viewer/viewer.js) into one self-contained page (three.js itself
-loads from CDN).  Parity: /root/reference/brax/io/html.py:26-104.
+Embeds the scene/trajectory JSON and our WebGL viewer
+(brax_tpu/viewer/viewer.js) into one fully self-contained page — no CDN,
+no external dependencies, works offline (the reference page requires
+three.js from a CDN).  Parity: /root/reference/brax/io/html.py:26-104.
 """
 
 import os
@@ -24,15 +25,6 @@ _PAGE = """<!DOCTYPE html>
     html, body {{ margin: 0; padding: 0; background: #11131a; }}
     #brax-tpu-viewer {{ width: 100vw; height: 95vh; }}
   </style>
-  <script src="https://cdn.jsdelivr.net/npm/three@0.160.0/build/three.min.js"></script>
-  <script src="https://cdn.jsdelivr.net/npm/three@0.160.0/examples/js/controls/OrbitControls.js"></script>
-  <script>
-    // newer three.js builds export OrbitControls under THREE
-    if (typeof OrbitControls === 'undefined' && typeof THREE !== 'undefined'
-        && THREE.OrbitControls) {{
-      window.OrbitControls = THREE.OrbitControls;
-    }}
-  </script>
 </head>
 <body>
   <div id="brax-tpu-viewer"></div>
