@@ -6,8 +6,12 @@ Must run before jax is imported anywhere.
 import os
 
 # force, not setdefault: the sandbox presets JAX_PLATFORMS=axon (the remote
-# TPU tunnel), which would silently route every test compile through it
-os.environ["JAX_PLATFORMS"] = "cpu"
+# TPU tunnel), which would silently route every test compile through it.
+# BRAX_TPU_HW_TESTS=1 opts out, keeping the real chip so the hardware-gated
+# tests (e.g. test_bitexact_bounds.py::test_tpu_bitexact_short_horizon) run.
+_HW = os.environ.get("BRAX_TPU_HW_TESTS") == "1"
+if not _HW:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -19,7 +23,8 @@ if "xla_force_host_platform_device_count" not in flags:
 # pre-set env; the env write above is too late — update the live config too
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _HW:
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: the CI box has one CPU core, so cold-compiling
 # the whole suite dominates wall time; warm runs reuse every executable
