@@ -1,10 +1,13 @@
 """On-device trajectory rendering: a jitted SDF ray-marcher.
 
 Role parity with the reference's CPU rasterizer (/root/reference/brax/io/
-image.py:58-217, which wraps the `pytinyrenderer` C++ library).  TPU-native
-replacement: the scene (spheres/capsules/boxes/planes from the scene config)
-is signed-distance composed and sphere-traced entirely in JAX, so frames
-render on the accelerator and batch over the trajectory with vmap.
+image.py:58-217, which wraps the `pytinyrenderer` C++ library; heightmap and
+mesh rasterization at :58-104).  TPU-native replacement: the scene
+(spheres/capsules/boxes/planes/heightmaps/triangle meshes from the scene
+config) is signed-distance composed and sphere-traced entirely in JAX, so
+frames render on the accelerator and batch over the trajectory with vmap.
+Heightmaps use slope-bounded bilinear height fields; meshes use exact
+point-triangle distances over a (subsampled) face table.
 """
 
 from __future__ import annotations
@@ -40,10 +43,26 @@ class _Prims:
     off_pos: onp.ndarray  # (np, 3) collider offset
     off_rot: onp.ndarray  # (np, 4) collider rotation quat
     color: onp.ndarray  # (np, 3)
+    # heightmaps: corner-anchored bilinear height fields (builder.py:620-628)
+    hm_body: onp.ndarray  # (nh,)
+    hm_data: onp.ndarray  # (nh, G, G) edge-padded to the largest grid
+    hm_n: onp.ndarray  # (nh,) actual grid size per map
+    hm_cell: onp.ndarray  # (nh,)
+    hm_slope: onp.ndarray  # (nh,) 1/sqrt(1+max_grad^2) distance bound
+    hm_off_pos: onp.ndarray  # (nh, 3)
+    hm_off_rot: onp.ndarray  # (nh, 4)
+    # triangle meshes: dense face tables, padded by repeating the last face
+    mesh_body: onp.ndarray  # (nm,)
+    mesh_tris: onp.ndarray  # (nm, F, 3, 3)
+    mesh_off_pos: onp.ndarray  # (nm, 3)
+    mesh_off_rot: onp.ndarray  # (nm, 4)
 
 
-def _build_prims(config: Config) -> _Prims:
+def _build_prims(config: Config, max_mesh_faces: int = 512) -> _Prims:
     body, kind, params, off_pos, off_rot, color = [], [], [], [], [], []
+    hm_body, hm_data, hm_cell, hm_off_pos, hm_off_rot = [], [], [], [], []
+    mesh_body, mesh_tris, mesh_off_pos, mesh_off_rot = [], [], [], []
+    geoms = {m.name: m for m in config.mesh_geometries}
     for i, b in enumerate(config.bodies):
         for c in b.colliders:
             if c.hidden:
@@ -51,6 +70,29 @@ def _build_prims(config: Config) -> _Prims:
             q = onp.asarray(
                 maths.euler_to_quat(jnp.array(c.rotation, dtype=jnp.float32))
             )
+            if c.heightmap is not None and len(c.heightmap.data):
+                n = int(onp.sqrt(len(c.heightmap.data)))
+                hm_body.append(i)
+                hm_data.append(
+                    onp.asarray(c.heightmap.data, onp.float32).reshape(n, n)
+                )
+                hm_cell.append(c.heightmap.size / max(n - 1, 1))
+                hm_off_pos.append(tuple(c.position))
+                hm_off_rot.append(tuple(q))
+                continue
+            if c.mesh is not None and c.mesh.name in geoms:
+                g = geoms[c.mesh.name]
+                verts = onp.asarray(g.vertices, onp.float32) * (
+                    c.mesh.scale or 1.0
+                )
+                faces = onp.asarray(g.faces, onp.int32).reshape(-1, 3)
+                if len(faces) > max_mesh_faces:  # deterministic subsample
+                    faces = faces[:: -(-len(faces) // max_mesh_faces)]
+                mesh_body.append(i)
+                mesh_tris.append(verts[faces])  # (F, 3, 3)
+                mesh_off_pos.append(tuple(c.position))
+                mesh_off_rot.append(tuple(q))
+                continue
             if c.sphere is not None:
                 kind.append(0)
                 params.append((c.sphere.radius, 0, 0))
@@ -64,53 +106,197 @@ def _build_prims(config: Config) -> _Prims:
             elif c.plane is not None or c.clipped_plane is not None:
                 kind.append(3)
                 params.append((0, 0, 0))
-            else:  # heightmap/mesh: not ray-marched (yet); skip
+            else:
                 continue
             body.append(i)
             off_pos.append(tuple(c.position))
             off_rot.append(tuple(q))
             color.append(_COLORS[i % len(_COLORS)])
+
+    # pad heightmaps to a shared grid (edge replication keeps the bilinear
+    # sample valid; hm_n masks the live region)
+    if hm_data:
+        gmax = max(d.shape[0] for d in hm_data)
+        hm_n = onp.array([d.shape[0] for d in hm_data], onp.int32)
+        hm_slope = []
+        padded = []
+        for d, cell in zip(hm_data, hm_cell):
+            gx, gy = onp.gradient(d, cell) if d.shape[0] > 1 else (d * 0, d * 0)
+            grad = float(onp.sqrt(gx**2 + gy**2).max())
+            hm_slope.append(1.0 / onp.sqrt(1.0 + grad * grad))
+            padded.append(
+                onp.pad(d, ((0, gmax - d.shape[0]),) * 2, mode="edge")
+            )
+        hm_data = onp.stack(padded)
+        hm_slope = onp.array(hm_slope, onp.float32)
+    else:
+        hm_data = onp.zeros((0, 1, 1), onp.float32)
+        hm_n = onp.zeros((0,), onp.int32)
+        hm_slope = onp.zeros((0,), onp.float32)
+
+    if mesh_tris:
+        fmax = max(len(t) for t in mesh_tris)
+        mesh_tris = onp.stack(
+            [
+                onp.concatenate([t, onp.repeat(t[-1:], fmax - len(t), 0)])
+                for t in mesh_tris
+            ]
+        )
+    else:
+        mesh_tris = onp.zeros((0, 1, 3, 3), onp.float32)
+
+    def arr(x, dt, shape):
+        return onp.array(x, dt) if len(x) else onp.zeros(shape, dt)
+
     return _Prims(
-        body=onp.array(body, onp.int32),
-        kind=onp.array(kind, onp.int32),
-        params=onp.array(params, onp.float32),
-        off_pos=onp.array(off_pos, onp.float32),
-        off_rot=onp.array(off_rot, onp.float32),
-        color=onp.array(color, onp.float32),
+        body=arr(body, onp.int32, (0,)),
+        kind=arr(kind, onp.int32, (0,)),
+        params=arr(params, onp.float32, (0, 3)),
+        off_pos=arr(off_pos, onp.float32, (0, 3)),
+        off_rot=arr(off_rot, onp.float32, (0, 4)),
+        color=arr(color, onp.float32, (0, 3)),
+        hm_body=arr(hm_body, onp.int32, (0,)),
+        hm_data=hm_data,
+        hm_n=hm_n,
+        hm_cell=arr(hm_cell, onp.float32, (0,)),
+        hm_slope=hm_slope,
+        hm_off_pos=arr(hm_off_pos, onp.float32, (0, 3)),
+        hm_off_rot=arr(hm_off_rot, onp.float32, (0, 4)),
+        mesh_body=arr(mesh_body, onp.int32, (0,)),
+        mesh_tris=mesh_tris.astype(onp.float32),
+        mesh_off_pos=arr(mesh_off_pos, onp.float32, (0, 3)),
+        mesh_off_rot=arr(mesh_off_rot, onp.float32, (0, 4)),
     )
+
+
+def _local_points(p, bodies, off_pos, off_rot, qp: QP):
+    """World point p in each collider's local frame (k, 3)."""
+    pos = qp.pos[bodies] + maths.rotate(jnp.asarray(off_pos), qp.rot[bodies])
+    rot = maths.quat_mul(qp.rot[bodies], jnp.asarray(off_rot))
+    return maths.inv_rotate(p[None, :] - pos, rot)
+
+
+def _tri_dist(p, tri):
+    """Exact unsigned point-triangle distance, vectorized over (F, 3, 3)."""
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab, ac, ap = b - a, c - a, p[None, :] - a
+    d1 = jnp.einsum("fi,fi->f", ab, ap)
+    d2 = jnp.einsum("fi,fi->f", ac, ap)
+    bp = p[None, :] - b
+    d3 = jnp.einsum("fi,fi->f", ab, bp)
+    d4 = jnp.einsum("fi,fi->f", ac, bp)
+    cp = p[None, :] - c
+    d5 = jnp.einsum("fi,fi->f", ab, cp)
+    d6 = jnp.einsum("fi,fi->f", ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom = jnp.maximum(va + vb + vc, 1e-12)
+    # interior (barycentric) closest point, then clamp to edges/verts by
+    # region tests (Ericson, Real-Time Collision Detection 5.1.5)
+    v = jnp.clip(vb / denom, 0.0, 1.0)
+    w = jnp.clip(vc / denom, 0.0, 1.0)
+    q_face = a + v[:, None] * ab + w[:, None] * ac
+    t_ab = jnp.clip(d1 / jnp.maximum(d1 - d3, 1e-12), 0.0, 1.0)
+    q_ab = a + t_ab[:, None] * ab
+    t_ac = jnp.clip(d2 / jnp.maximum(d2 - d6, 1e-12), 0.0, 1.0)
+    q_ac = a + t_ac[:, None] * ac
+    t_bc = jnp.clip(
+        (d4 - d3) / jnp.maximum((d4 - d3) + (d5 - d6), 1e-12), 0.0, 1.0
+    )
+    q_bc = b + t_bc[:, None] * (c - b)
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (d1 * d4 - d3 * d2 <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (d5 * d2 - d1 * d6 <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (d3 * d6 - d5 * d4 <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+
+    q = q_face
+    q = jnp.where(on_bc[:, None], q_bc, q)
+    q = jnp.where(on_ac[:, None], q_ac, q)
+    q = jnp.where(on_ab[:, None], q_ab, q)
+    q = jnp.where(in_c[:, None], c, q)
+    q = jnp.where(in_b[:, None], b, q)
+    q = jnp.where(in_a[:, None], a, q)
+    return jnp.linalg.norm(p[None, :] - q, axis=-1)
 
 
 def _scene_sdf(prims: _Prims, qp: QP, p: jnp.ndarray):
-    """Signed distance + color of the nearest surface at world point p."""
-    pos = qp.pos[prims.body] + maths.rotate(
-        jnp.asarray(prims.off_pos), qp.rot[prims.body]
-    )
-    rot = maths.quat_mul(qp.rot[prims.body], jnp.asarray(prims.off_rot))
-    local = maths.inv_rotate(p[None, :] - pos, rot)  # (np, 3)
+    """Distance + combined surface index of the nearest surface at p.
 
-    r = prims.params[:, 0]
-    half = prims.params[:, 1]
-    hs = jnp.asarray(prims.params)
+    Index layout: [0, np) analytic prims, [np, np+nh) heightmaps,
+    [np+nh, np+nh+nm) meshes.
+    """
+    ds = []
+    if len(prims.kind):
+        local = _local_points(p, prims.body, prims.off_pos, prims.off_rot, qp)
+        r = prims.params[:, 0]
+        half = prims.params[:, 1]
+        hs = jnp.asarray(prims.params)
+        d_sphere = jnp.linalg.norm(local, axis=-1) - r
+        # capsule along local z
+        zclamp = jnp.clip(local[:, 2], -half, half)
+        dcap = local - jnp.stack(
+            [jnp.zeros_like(zclamp), jnp.zeros_like(zclamp), zclamp], axis=-1
+        )
+        d_capsule = jnp.linalg.norm(dcap, axis=-1) - r
+        q = jnp.abs(local) - hs
+        d_box = jnp.linalg.norm(jnp.maximum(q, 0), axis=-1) + jnp.minimum(
+            jnp.max(q, axis=-1), 0.0
+        )
+        d_plane = local[:, 2]
+        kind = jnp.asarray(prims.kind)
+        ds.append(
+            jnp.where(
+                kind == 0,
+                d_sphere,
+                jnp.where(
+                    kind == 1, d_capsule, jnp.where(kind == 2, d_box, d_plane)
+                ),
+            )
+        )
 
-    d_sphere = jnp.linalg.norm(local, axis=-1) - r
-    # capsule along local z
-    zclamp = jnp.clip(local[:, 2], -half, half)
-    dcap = local - jnp.stack(
-        [jnp.zeros_like(zclamp), jnp.zeros_like(zclamp), zclamp], axis=-1
-    )
-    d_capsule = jnp.linalg.norm(dcap, axis=-1) - r
-    q = jnp.abs(local) - hs
-    d_box = jnp.linalg.norm(jnp.maximum(q, 0), axis=-1) + jnp.minimum(
-        jnp.max(q, axis=-1), 0.0
-    )
-    d_plane = local[:, 2]
+    if len(prims.hm_body):
+        local = _local_points(
+            p, prims.hm_body, prims.hm_off_pos, prims.hm_off_rot, qp
+        )
+        cell = jnp.asarray(prims.hm_cell)
+        nmax = jnp.asarray(prims.hm_n, jnp.float32) - 1.0
+        u = jnp.clip(local[:, 0] / cell, 0.0, nmax)
+        v = jnp.clip(local[:, 1] / cell, 0.0, nmax)
+        iu, iv = jnp.floor(u).astype(jnp.int32), jnp.floor(v).astype(jnp.int32)
+        iu1 = jnp.minimum(iu + 1, jnp.asarray(prims.hm_n) - 1)
+        iv1 = jnp.minimum(iv + 1, jnp.asarray(prims.hm_n) - 1)
+        fu, fv = u - iu, v - iv
+        data = jnp.asarray(prims.hm_data)
+        k = jnp.arange(len(prims.hm_body))
+        h = (
+            data[k, iu, iv] * (1 - fu) * (1 - fv)
+            + data[k, iu1, iv] * fu * (1 - fv)
+            + data[k, iu, iv1] * (1 - fu) * fv
+            + data[k, iu1, iv1] * fu * fv
+        )
+        d_vert = (local[:, 2] - h) * jnp.asarray(prims.hm_slope)
+        # outside the grid footprint, the lateral gap dominates
+        gap_u = jnp.maximum(
+            jnp.maximum(-local[:, 0], local[:, 0] - nmax * cell), 0.0
+        )
+        gap_v = jnp.maximum(
+            jnp.maximum(-local[:, 1], local[:, 1] - nmax * cell), 0.0
+        )
+        ds.append(jnp.maximum(d_vert, jnp.hypot(gap_u, gap_v)))
 
-    kind = jnp.asarray(prims.kind)
-    d = jnp.where(
-        kind == 0,
-        d_sphere,
-        jnp.where(kind == 1, d_capsule, jnp.where(kind == 2, d_box, d_plane)),
-    )
+    if len(prims.mesh_body):
+        local = _local_points(
+            p, prims.mesh_body, prims.mesh_off_pos, prims.mesh_off_rot, qp
+        )
+        tris = jnp.asarray(prims.mesh_tris)
+        d_mesh = jax.vmap(lambda q, t: jnp.min(_tri_dist(q, t)))(local, tris)
+        ds.append(d_mesh)
+
+    d = jnp.concatenate(ds)
     idx = jnp.argmin(d)
     return d[idx], idx
 
@@ -167,6 +353,23 @@ def render_array(
     sun = jnp.array([0.45, 0.3, 0.85])
     sun = sun / jnp.linalg.norm(sun)
 
+    # combined surface tables (index layout documented in _scene_sdf)
+    all_color = onp.concatenate(
+        [
+            prims.color.reshape(-1, 3),
+            _COLORS[prims.hm_body % len(_COLORS)].reshape(-1, 3),
+            _COLORS[prims.mesh_body % len(_COLORS)].reshape(-1, 3),
+        ]
+    )
+    nh, nm = len(prims.hm_body), len(prims.mesh_body)
+    is_plane_t = onp.concatenate(
+        [prims.kind == 3, onp.zeros(nh, bool), onp.zeros(nm, bool)]
+    )
+    is_hm_t = onp.concatenate(
+        [onp.zeros(len(prims.kind), bool), onp.ones(nh, bool),
+         onp.zeros(nm, bool)]
+    )
+
     def pixel(x, y):
         direction = fwd + x * right - y * up
         direction = direction / jnp.linalg.norm(direction)
@@ -174,12 +377,15 @@ def render_array(
         hit = eye + t * direction
         n = _normal(prims, qp, hit)
         lam = jnp.clip(jnp.dot(n, sun), 0.0, 1.0)
-        base = jnp.asarray(prims.color)[idx]
-        # checkerboard on planes
-        is_plane = jnp.asarray(prims.kind)[idx] == 3
+        base = jnp.asarray(all_color)[idx]
+        # checkerboard on planes; solid ground gray on heightmaps
+        is_plane = jnp.asarray(is_plane_t)[idx]
         checker = (jnp.floor(hit[0]) + jnp.floor(hit[1])) % 2.0
         plane_col = jnp.array([0.55, 0.55, 0.6]) * (0.8 + 0.2 * checker)
         base = jnp.where(is_plane, plane_col, base)
+        base = jnp.where(
+            jnp.asarray(is_hm_t)[idx], jnp.array([0.5, 0.52, 0.55]), base
+        )
         col = base * (0.25 + 0.75 * lam)
         sky = jnp.array([0.12, 0.13, 0.18])
         col = jnp.where(t < 100.0, col, sky)

@@ -150,3 +150,53 @@ def test_spectral_norm_dense():
     big = layer.apply(params, 100 * jnp.eye(4), mutable=["sing_vec"])[0]
     s = jnp.linalg.svd(big / 100.0, compute_uv=False)
     assert float(s[0]) < 1.5
+
+
+def test_image_render_heightmap_and_mesh():
+    """The SDF renderer covers heightmaps (bilinear field) and triangle
+    meshes (point-triangle distance), parity with the reference's
+    pytinyrenderer paths (io/image.py:58-104)."""
+    from brax_tpu.io import image
+    from brax_tpu.sim import config as cfg
+    from brax_tpu.sim.types import QP
+
+    n = 8
+    data = tuple(
+        0.3 * ((i // n) % 2) for i in range(n * n)
+    )  # ridged terrain
+    tet_verts = ((0, 0, 0), (0.6, 0, 0), (0, 0.6, 0), (0, 0, 0.6))
+    tet_faces = (0, 1, 2, 0, 1, 3, 0, 2, 3, 1, 2, 3)
+    config = cfg.Config(
+        bodies=[
+            cfg.Body(
+                name="terrain",
+                frozen=cfg.FrozenAxes(all=True),
+                colliders=[cfg.Collider(heightmap=cfg.HeightMap(size=4.0, data=data))],
+            ),
+            cfg.Body(
+                name="rock",
+                colliders=[cfg.Collider(mesh=cfg.MeshRef(name="tet", scale=1.0))],
+            ),
+            cfg.Body(
+                name="ball",
+                colliders=[cfg.Collider(sphere=cfg.Sphere(radius=0.25))],
+            ),
+        ],
+        mesh_geometries=[
+            cfg.MeshGeometry(name="tet", vertices=tet_verts, faces=tet_faces)
+        ],
+        dt=0.02,
+    )
+    qp = QP(
+        pos=jnp.array([[0.0, 0.0, 0.0], [1.5, 1.5, 0.35], [2.5, 1.0, 0.6]]),
+        rot=jnp.tile(jnp.array([1.0, 0, 0, 0]), (3, 1)),
+        vel=jnp.zeros((3, 3)),
+        ang=jnp.zeros((3, 3)),
+    )
+    arr = image.render_array(config, qp, 64, 64)
+    assert arr.shape == (64, 64, 3) and arr.dtype == onp.uint8
+    assert arr.std() > 5  # something visible
+    # the heightmap ground occupies a region distinct from the sky color
+    sky = onp.array([31, 33, 46])
+    frac_sky = (onp.abs(arr.astype(int) - sky).sum(-1) < 12).mean()
+    assert frac_sky < 0.95
