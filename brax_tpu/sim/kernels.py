@@ -199,7 +199,15 @@ def supported(sys: System) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _build_tile_step(sys: System):
+# substep loops with at least this many iterations compile rolled
+# (lax.fori_loop) instead of unrolled — see tile_step below.  6 keeps the
+# benchmarked ant PBD step (n_substeps=5, 24M env-steps/s unrolled) on its
+# measured form while rolling the spring kernels whose unrolled Mosaic
+# compile took ~20 min.
+_ROLL_MIN = 6
+
+
+def _build_tile_step(sys: System, roll_substeps=None):
     """Returns f(pos, rot, vel, ang, act) in (rows..., T) layout.
 
     pos/vel/ang: (nb, 3, T); rot: (nb, 4, T); act: (na, T).
@@ -1137,6 +1145,13 @@ def _build_tile_step(sys: System):
         caa = [_vadd(caa[b], dang_c[b]) for b in range(nb)]
         return pos, rot, vel, ang, cva, caa
 
+    def _canon(state):
+        """Nested tuples: fori_loop needs an exactly stable carry pytree,
+        and the substep helpers mix lists and tuples freely."""
+        return tuple(
+            tuple(tuple(c for c in b) for b in comp) for comp in state
+        )
+
     def tile_step(pos_arr, rot_arr, vel_arr, ang_arr, act_arr):
         pos = [body_vecs(pos_arr, b, 3) for b in range(nb)]
         rot = [body_vecs(rot_arr, b, 4) for b in range(nb)]
@@ -1147,18 +1162,48 @@ def _build_tile_step(sys: System):
         zero = jnp.zeros_like(pos[0][0])
         cva = [(zero, zero, zero) for _ in range(nb)]
         caa = [(zero, zero, zero) for _ in range(nb)]
+
+        # Substep loops roll into a lax.fori_loop above _ROLL_MIN iterations:
+        # a fully unrolled ant spring step took ~20 min of Mosaic compile
+        # (one substep body traced `substeps` times); rolled, the body is
+        # traced once.  Small counts stay unrolled for cross-substep fusion.
+        def _roll(iters):
+            if roll_substeps is None:
+                return iters >= _ROLL_MIN
+            return bool(roll_substeps)
+
         if sys.dynamics_mode == "legacy_spring":
-            for _ in range(sys.substeps):
-                pos, rot, vel, ang, cva, caa = spring_substep(
-                    pos, rot, vel, ang, act, cva, caa
+            def spring_body(_, state):
+                return _canon(spring_substep(*state[:4], act, *state[4:]))
+
+            state = _canon((pos, rot, vel, ang, cva, caa))
+            if _roll(sys.substeps):
+                state = jax.lax.fori_loop(
+                    0, sys.substeps, spring_body, state, unroll=False
                 )
+            else:
+                for _ in range(sys.substeps):
+                    state = spring_body(0, state)
+            pos, rot, vel, ang, cva, caa = state
             return (
                 stack_rows(pos, 3), stack_rows(rot, 4), stack_rows(vel, 3),
                 stack_rows(ang, 3), stack_rows(cva, 3), stack_rows(caa, 3),
             )
-        for _ in range(n_substeps):
-            pos, rot, vel, ang, cva, caa = half_substep(pos, rot, vel, ang, act, False, cva, caa)
-            pos, rot, vel, ang, cva, caa = half_substep(pos, rot, vel, ang, act, True, cva, caa)
+
+        def pbd_body(_, state):
+            s = half_substep(*state[:4], act, False, *state[4:])
+            s = half_substep(*s[:4], act, True, *s[4:])
+            return _canon(s)
+
+        state = _canon((pos, rot, vel, ang, cva, caa))
+        if _roll(n_substeps):
+            state = jax.lax.fori_loop(
+                0, n_substeps, pbd_body, state, unroll=False
+            )
+        else:
+            for _ in range(n_substeps):
+                state = pbd_body(0, state)
+        pos, rot, vel, ang, cva, caa = state
 
         return (
             stack_rows(pos, 3), stack_rows(rot, 4), stack_rows(vel, 3),

@@ -169,3 +169,72 @@ def test_dispatch_cpu_fallback_exact(ant_batch):
     finally:
         kernels.enable(False)
     np.testing.assert_array_equal(np.asarray(qp_on.pos), np.asarray(qp_ref.pos))
+
+
+def _small_spring_scene():
+    from brax_tpu.sim import builder
+    from brax_tpu.sim.config import (
+        Actuator, Body, Capsule, Collider, Config, FrozenAxes, Joint, Plane,
+    )
+
+    cfg = Config(
+        bodies=[
+            Body(name="a", colliders=[Collider(capsule=Capsule(radius=0.1, length=0.6))],
+                 inertia=(0.1, 0.1, 0.1), mass=1.0),
+            Body(name="b", colliders=[Collider(capsule=Capsule(radius=0.1, length=0.6))],
+                 inertia=(0.1, 0.1, 0.1), mass=1.0),
+            Body(name="ground", colliders=[Collider(plane=Plane())],
+                 inertia=(1, 1, 1), mass=1.0, frozen=FrozenAxes(all=True)),
+        ],
+        joints=[
+            Joint(name="j", parent="a", child="b", stiffness=5000.0,
+                  parent_offset=(0, 0, -0.35), child_offset=(0, 0, 0.35),
+                  angle_limits=[(-60, 60)], spring_damping=20.0,
+                  limit_strength=200.0)
+        ],
+        actuators=[Actuator(name="j", joint="j", strength=20.0, kind="torque")],
+        gravity=(0.0, 0.0, -9.8),
+        friction=0.8,
+        dt=0.02,
+        substeps=4,
+        dynamics_mode="legacy_spring",
+    )
+    return builder.build(cfg)[0]
+
+
+def test_rolled_substeps_match_unrolled(ant_batch):
+    """lax.fori_loop substeps (compile-time fix: one traced body instead of
+    `substeps` copies) must be numerically identical to the unrolled form,
+    in both dynamics modes.  Spring mode uses the 2-body scene — unrolled
+    full-ant spring is exactly the >20-min compile this change removes."""
+    env, qp0, act = ant_batch
+    t = lambda x: jnp.transpose(x, (1, 2, 0))
+
+    pbd_args = (t(qp0.pos), t(qp0.rot), t(qp0.vel), t(qp0.ang), act.T)
+    spring_sys = _small_spring_scene()
+    n = 16
+    sp_qp_pos = jnp.tile(
+        jnp.array([[0.0, 0.0, 0.8], [0.0, 0.0, 0.2], [0.0, 0.0, 0.0]]), (n, 1, 1)
+    )
+    spring_args = (
+        t(sp_qp_pos),
+        t(jnp.tile(jnp.array([1.0, 0, 0, 0]), (n, 3, 1))),
+        t(0.3 * jax.random.normal(jax.random.PRNGKey(0), (n, 3, 3))),
+        t(jnp.zeros((n, 3, 3))),
+        jax.random.uniform(jax.random.PRNGKey(7), (n, 1), minval=-1, maxval=1).T,
+    )
+
+    # auto policy: spring-ant (10 substeps) rolls, PBD-ant (5) stays on its
+    # benchmarked unrolled form
+    from brax_tpu.envs import ant as ant_mod
+
+    assert ant_mod.Ant(legacy_spring=True).sys.substeps >= kernels._ROLL_MIN
+    assert env.sys.substeps // 2 < kernels._ROLL_MIN
+
+    for sys_, args in ((env.sys, pbd_args), (spring_sys, spring_args)):
+        rolled = jax.jit(kernels._build_tile_step(sys_, roll_substeps=True))
+        unrolled = jax.jit(kernels._build_tile_step(sys_, roll_substeps=False))
+        for a, b in zip(rolled(*args), unrolled(*args)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+            )
