@@ -2,12 +2,18 @@
 
 Contributors register (a) plain envs, (b) composer components, which are then
 automatically entered into goal-oriented task tracks (race/sumo/chase) built
-on the composer.  Role parity: /root/reference/brax/experimental/biggym.
+on the composer.  Submissions can be single calls (`register`) or whole
+packages (`register_module`) carrying the reference's submission format:
+AUTHORS/CONTACTS/AFFILIATIONS/DESCRIPTIONS tuples plus ENVS/COMPONENTS
+dicts.  Role parity: /root/reference/brax/experimental/biggym.
 """
 
 from __future__ import annotations
 
 import difflib
+import functools
+import importlib
+import inspect
 from typing import Any, Callable, Dict, Optional
 
 from brax_tpu import composer as composer_lib
@@ -17,10 +23,14 @@ from brax_tpu.composer import components as composer_components
 
 ENVS: Dict[str, Callable] = {}
 COMPONENTS: Dict[str, str] = {}
+REGISTRIES: Dict[str, dict] = {}
 ENVS_BY_TRACKS: Dict[str, list] = {
     "open_ended": [],
+    "mimax": [],
     **{k: [] for k in tasks.TASKS},
 }
+SUBMISSION_FIELDS = ("AUTHORS", "CONTACTS", "AFFILIATIONS", "DESCRIPTIONS")
+ROOT_PATH = "brax_tpu.biggym.registry"
 
 
 def register(
@@ -73,3 +83,115 @@ def create(env_name: str, **kwargs):
     if env_name in ENVS:
         return ENVS[env_name](**kwargs)
     return base_envs.create(env_name, **kwargs)
+
+
+def _validate_metadata(lib, path: str) -> Dict[str, tuple]:
+    """Submission-format check (parity: reference biggym/__init__.py:134-143):
+    every field is a tuple of strings."""
+    meta = {}
+    for field in SUBMISSION_FIELDS:
+        values = getattr(lib, field, None)
+        if not (
+            isinstance(values, tuple)
+            and values
+            and all(isinstance(v, str) for v in values)
+        ):
+            raise AssertionError(
+                f"{path}.{field} must be a non-empty tuple of strs, got "
+                f"{values!r}"
+            )
+        meta[field] = values
+    return meta
+
+
+def _resolve(path: str, sub_path: str, spec):
+    """Resolves 'mod:Attr' module specs relative to a registry package."""
+    if not isinstance(spec, str):
+        return spec
+    mod_path, attr = spec.split(":", 1)
+    lib = importlib.import_module(f"{path}.{sub_path}.{mod_path}")
+    return getattr(lib, attr)
+
+
+def register_module(registry_name: str, assert_format: bool = True):
+    """Registers a whole submission package (reference directory-registry
+    format): the module defines metadata tuples plus ENVS / COMPONENTS
+    dicts whose 'module' entries are factories or 'file:Attr' paths.
+
+    Returns (env_names, component_names, task_env_names, metadata).
+    """
+    if registry_name in REGISTRIES:
+        r = REGISTRIES[registry_name]
+        return r["envs"], r["components"], r["task_envs"], r["metadata"]
+
+    path = (
+        registry_name
+        if "." in registry_name
+        else f"{ROOT_PATH}.{registry_name}"
+    )
+    lib = importlib.import_module(path)
+    metadata = _validate_metadata(lib, path) if assert_format else {}
+
+    env_names, comp_names, task_env_names = [], [], []
+    for name, info in sorted(getattr(lib, "ENVS", {}).items() or []):
+        env_name = f"{registry_name.rsplit('.', 1)[-1]}_{name}"
+        env_fn = _resolve(path, "envs", info["module"])
+        register(env_name, env_fn=env_fn)
+        env_names.append(env_name)
+        for tr in info.get("tracks", ["rl"]):
+            if tr == "mimax":
+                ENVS_BY_TRACKS["mimax"].append(env_name)
+                from brax_tpu.braxlines import obs_indices as oi
+
+                for itype, (idx, scale) in info.get("obs_indices", {}).items():
+                    oi.register_indices(env_name, itype, idx, scale)
+    for name, info in sorted(getattr(lib, "COMPONENTS", {}).items() or []):
+        comp_name = f"{registry_name.rsplit('.', 1)[-1]}_{name}"
+        comp_fn = _resolve(path, "components", info["module"])
+        created = register(comp_name, component_fn=comp_fn)
+        comp_names.append(comp_name)
+        task_env_names.extend(created)
+
+    REGISTRIES[registry_name] = {
+        "envs": env_names,
+        "components": comp_names,
+        "task_envs": task_env_names,
+        "metadata": metadata,
+    }
+    return env_names, comp_names, task_env_names, metadata
+
+
+def inspect_env(env_name: str):
+    """Returns (supported_params, accepts_kwargs) of an env constructor
+    (parity: reference biggym.get_func_kwargs / inspect_env)."""
+    assert_exists(env_name)
+    fn = ENVS.get(env_name) or base_envs._envs.get(env_name)
+    partial_params: Dict[str, Any] = {}
+    while isinstance(fn, functools.partial):
+        partial_params.update(fn.keywords)
+        fn = fn.func
+    params = inspect.signature(fn).parameters
+    accepts_kwargs = any(
+        v.kind == inspect.Parameter.VAR_KEYWORD for v in params.values()
+    )
+    supported = {
+        k: v.default
+        for k, v in params.items()
+        if v.kind == inspect.Parameter.POSITIONAL_OR_KEYWORD
+        and v.default is not inspect.Parameter.empty
+    }
+    supported.update(partial_params)
+    return supported, accepts_kwargs
+
+
+def assert_env_params(
+    env_name: str, env_params: Dict[str, Any], ignore_kwargs: bool = True
+):
+    """Asserts env_params are constructor-supported (parity: reference
+    biggym.assert_env_params)."""
+    supported, accepts_kwargs = inspect_env(env_name)
+    if accepts_kwargs and ignore_kwargs:
+        return
+    unknown = sorted(set(env_params) - set(supported))
+    assert not unknown, f"{env_name}: unsupported params {unknown}; " \
+                        f"supported: {sorted(supported)}"

@@ -77,9 +77,16 @@ def _vgcrl(cfg: Dict[str, Any], progress_fn, output_dir):
         "cdiayn": dict(q_fn="mlp", dist_q="normal", dist_p="uniform"),
         "gcrl": dict(q_fn="indexing", dist_q="normal", dist_p="uniform"),
     }[algo]
+    if "obs_indices" in cfg:
+        idx, scale = tuple(cfg["obs_indices"]), cfg.get("obs_scale", 5.0)
+    else:  # look up the registered semantic indices for this env
+        from brax_tpu.braxlines import obs_indices as oi
+
+        idx, scale = oi.get_indices(cfg["env_name"], "vel")
+        scale = cfg.get("obs_scale", scale)
     disc = discriminators.SkillDiscriminator(
-        obs_indices=tuple(cfg.get("obs_indices", (0,))),
-        obs_scale=cfg.get("obs_scale", 5.0),
+        obs_indices=idx,
+        obs_scale=scale,
         z_size=cfg.get("z_size", 2),
         **kind,
     )
