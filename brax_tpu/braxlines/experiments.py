@@ -63,15 +63,16 @@ def _short(key: str) -> str:
 def expand_grid(config) -> List[Tuple[str, Dict[str, Any]]]:
     """Expands a sweep config into (run_name, concrete_config) pairs.
 
-    `config` is a dict (or list of dicts, concatenated): list values are
-    sweep axes, nested dicts flatten to dotted keys.  Run names compress the
-    swept keys only: ``ep.nl_4__s_0``.
+    `config` is a dict (or list of dicts, concatenated): LIST values are
+    sweep axes (tuples stay literal values, e.g. obs_indices=(0,)), nested
+    dicts flatten to dotted keys.  Run names compress the swept keys only:
+    ``ep.nl_4__s_0``.
     """
     if isinstance(config, (list, tuple)):
         return [run for c in config for run in expand_grid(c)]
     flat = dict(_flatten(config))
-    axes = [(k, v) for k, v in flat.items() if isinstance(v, (list, tuple))]
-    fixed = {k: v for k, v in flat.items() if not isinstance(v, (list, tuple))}
+    axes = [(k, v) for k, v in flat.items() if isinstance(v, list)]
+    fixed = {k: v for k, v in flat.items() if not isinstance(v, list)}
     runs = []
     for combo in itertools.product(*[v for _, v in axes]) if axes else [()]:
         cfg = dict(fixed)

@@ -67,11 +67,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--reward_shift", type=float, default=0.0)
     # APG
     p.add_argument("--truncation_length", type=int, default=None)
+    # sweeps (braxlines experiment infra)
+    p.add_argument("--sweep", default=None,
+                   help="run a named sweep from brax_tpu.braxlines.sweeps "
+                        "(pro_ant, mimax, ma_chase) instead of one training "
+                        "run; writes per-run csvs + merged plots to --logdir")
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    if args.sweep:
+        from brax_tpu.braxlines import sweeps
+
+        return sweeps.run(args.sweep, args.logdir)
 
     with metrics.Writer(args.logdir) as writer:
         writer.write_hparams(

@@ -30,6 +30,10 @@ def test_expand_grid_names_and_axes():
         assert c["ppo_params"]["learning_rate"] in (1e-3, 3e-4)
     # list-of-dicts concatenates
     assert len(experiments.expand_grid([cfg, {"env_name": "ant"}])) == 5
+    # tuples are literal values, not sweep axes (e.g. obs_indices=(0,))
+    runs = experiments.expand_grid({"obs_indices": (0, 1), "seed": [0, 1]})
+    assert len(runs) == 2
+    assert all(c["obs_indices"] == (0, 1) for _, c in runs)
 
 
 def test_csv_logger_roundtrip(tmp_path):
