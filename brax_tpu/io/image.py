@@ -341,9 +341,25 @@ def _camera(qp: QP, width: int, height: int):
 
 
 def render_array(
-    config: Config, qp: QP, width: int = 256, height: int = 256
+    config: Config,
+    qp: QP,
+    width: int = 256,
+    height: int = 256,
+    backend: str = "auto",
 ) -> onp.ndarray:
-    """Renders one frame to an (H, W, 3) uint8 array (on device)."""
+    """Renders one frame to an (H, W, 3) uint8 array.
+
+    backend: 'sdf' sphere-traces on the accelerator (jit/vmap-able);
+    'raster' uses the native C++ rasterizer on the host (fast CPU path,
+    role parity with the reference's pytinyrenderer); 'auto' picks raster
+    when the native library is buildable, else sdf.
+    """
+    if backend == "auto":
+        from brax_tpu.io import native
+
+        backend = "raster" if native.available() else "sdf"
+    if backend == "raster":
+        return _render_raster(config, qp, width, height)
     prims = _build_prims(config)
     eye, fwd, right, up = _camera(qp, width, height)
     fov = 0.9
@@ -397,19 +413,45 @@ def render_array(
     return onp.asarray(img * 255).astype(onp.uint8)
 
 
+def _render_raster(config: Config, qp: QP, width: int, height: int):
+    """Host-side render via the native C++ rasterizer (io/native)."""
+    import math
+
+    from brax_tpu.io import native, tessellate
+
+    prims = tessellate.build_scene(config)
+    pos = onp.asarray(qp.pos)
+    rot = onp.asarray(qp.rot)
+    verts, tris, tri_colors = tessellate.world_triangles(prims, pos, rot)
+
+    eye, fwd, right, up = (onp.asarray(v) for v in _camera(qp, width, height))
+    view = onp.eye(4, dtype=onp.float32)
+    view[0, :3], view[1, :3], view[2, :3] = right, up, -fwd
+    view[:3, 3] = -view[:3, :3] @ eye
+    # match the SDF camera: 0.9 rad horizontal FOV
+    fov_y = 2.0 * math.atan(math.tan(0.45) * height / width)
+    return native.rasterize(
+        verts, tris, tri_colors, view, fov_y, width, height
+    )
+
+
 def render(
     config: Config,
     qps: List[QP],
     width: int = 256,
     height: int = 256,
     fmt: str = "png",
+    backend: str = "auto",
 ) -> bytes:
     """Renders a trajectory as PNG (single frame) or animated GIF bytes."""
     from io import BytesIO
 
     from PIL import Image
 
-    frames = [Image.fromarray(render_array(config, qp, width, height)) for qp in qps]
+    frames = [
+        Image.fromarray(render_array(config, qp, width, height, backend))
+        for qp in qps
+    ]
     buf = BytesIO()
     if len(frames) == 1 or fmt == "png":
         frames[0].save(buf, format="PNG")

@@ -44,7 +44,7 @@ def test_image_render(ant_traj):
     from brax_tpu.io import image
 
     env, qps = ant_traj
-    arr = image.render_array(env.art.config, qps[0], 64, 64)
+    arr = image.render_array(env.art.config, qps[0], 64, 64, backend="sdf")
     assert arr.shape == (64, 64, 3) and arr.dtype == onp.uint8
     # scene is visible: not a constant image
     assert arr.std() > 5
@@ -193,10 +193,61 @@ def test_image_render_heightmap_and_mesh():
         vel=jnp.zeros((3, 3)),
         ang=jnp.zeros((3, 3)),
     )
-    arr = image.render_array(config, qp, 64, 64)
+    arr = image.render_array(config, qp, 64, 64, backend="sdf")
     assert arr.shape == (64, 64, 3) and arr.dtype == onp.uint8
     assert arr.std() > 5  # something visible
     # the heightmap ground occupies a region distinct from the sky color
     sky = onp.array([31, 33, 46])
     frac_sky = (onp.abs(arr.astype(int) - sky).sum(-1) < 12).mean()
     assert frac_sky < 0.95
+
+
+def test_native_rasterizer_backend(ant_traj):
+    """The C++ rasterizer (io/native, role parity with the reference's
+    pytinyrenderer dep) renders the same scenes as the SDF path."""
+    from brax_tpu.io import image, native
+
+    if not native.available():
+        pytest.skip("no host compiler for the native rasterizer")
+    env, qps = ant_traj
+    arr = image.render_array(env.art.config, qps[0], 96, 96, backend="raster")
+    assert arr.shape == (96, 96, 3) and arr.dtype == onp.uint8
+    assert arr.std() > 5
+    # frame-to-frame rendering is fast (the build is cached): 50 frames
+    import time
+
+    t0 = time.perf_counter()
+    for qp in qps * 10:
+        image.render_array(env.art.config, qp, 96, 96, backend="raster")
+    dt = time.perf_counter() - t0
+    assert dt < 30.0, f"{dt:.1f}s for {len(qps) * 10} frames"
+
+
+def test_native_rasterizer_heightmap_mesh():
+    from brax_tpu.io import image, native
+    from brax_tpu.sim import config as cfg
+    from brax_tpu.sim.types import QP
+
+    if not native.available():
+        pytest.skip("no host compiler for the native rasterizer")
+    n = 8
+    data = tuple(0.3 * ((i // n) % 2) for i in range(n * n))
+    tv = ((0, 0, 0), (0.6, 0, 0), (0, 0.6, 0), (0, 0, 0.6))
+    tf = (0, 1, 2, 0, 1, 3, 0, 2, 3, 1, 2, 3)
+    config = cfg.Config(
+        bodies=[
+            cfg.Body(name="terrain", frozen=cfg.FrozenAxes(all=True),
+                     colliders=[cfg.Collider(heightmap=cfg.HeightMap(size=4.0, data=data))]),
+            cfg.Body(name="rock",
+                     colliders=[cfg.Collider(mesh=cfg.MeshRef(name="tet", scale=1.0))]),
+        ],
+        mesh_geometries=[cfg.MeshGeometry(name="tet", vertices=tv, faces=tf)],
+        dt=0.02,
+    )
+    qp = QP(
+        pos=jnp.array([[0.0, 0.0, 0.0], [1.5, 1.5, 0.35]]),
+        rot=jnp.tile(jnp.array([1.0, 0, 0, 0]), (2, 1)),
+        vel=jnp.zeros((2, 3)), ang=jnp.zeros((2, 3)),
+    )
+    arr = image.render_array(config, qp, 64, 64, backend="raster")
+    assert arr.std() > 5
