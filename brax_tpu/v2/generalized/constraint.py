@@ -134,24 +134,34 @@ def _fista_nnls(a: Array, b: Array, maxiter: int, maxls: int = 5) -> Array:
         r = a @ x + b
         return 0.5 * jnp.dot(r, r), a.T @ r
 
-    def ls_step(carry, _):
-        """One backtracking halving: keep the first stepsize that fits."""
-        y, f_y, g_y, eta, x_next, accepted = carry
-        cand = jnp.maximum(y - eta * g_y, 0.0)
-        diff = cand - y
-        f_cand = 0.5 * jnp.sum((a @ cand + b) ** 2)
-        bound = f_y + jnp.dot(g_y, diff) + 0.5 / eta * jnp.dot(diff, diff)
-        ok = f_cand <= bound + 1e-12
-        x_next = jnp.where(ok & ~accepted, cand, x_next)
-        accepted = accepted | ok
-        eta = jnp.where(accepted, eta, eta * 0.5)
-        return (y, f_y, g_y, eta, x_next, accepted), None
+    def line_search(y, f_y, g_y, eta):
+        """All maxls halvings evaluated AT ONCE: the candidates for
+        eta/2^k are independent, so their objective values come from one
+        (maxls, nc) @ (nc, nc) matmul instead of maxls sequential matvecs
+        (an MXU-shaped op with no loop-carried dependency).  Selection is
+        identical to sequential backtracking: the first k whose quadratic
+        upper bound holds wins."""
+        etas = eta * (0.5 ** jnp.arange(maxls))  # (maxls,)
+        cands = jnp.maximum(y[None, :] - etas[:, None] * g_y[None, :], 0.0)
+        diffs = cands - y[None, :]
+        f_cands = 0.5 * jnp.sum((cands @ a.T + b[None, :]) ** 2, axis=-1)
+        bounds = (
+            f_y
+            + diffs @ g_y
+            + 0.5 / etas * jnp.sum(diffs * diffs, axis=-1)
+        )
+        ok = f_cands <= bounds + 1e-12
+        # first accepted index.  If none accept, sequential backtracking
+        # left x_next at the eta0 candidate (it only overwrote on accept)
+        # with eta fully halved — preserve exactly that behavior.
+        k = jnp.where(jnp.any(ok), jnp.argmax(ok), 0)
+        eta_out = jnp.where(jnp.any(ok), etas[k], etas[-1] * 0.5)
+        return cands[k], eta_out
 
     def iteration(carry, _):
         x, y, t, eta = carry
         f_y, g_y = value_grad(y)
-        init = (y, f_y, g_y, eta, jnp.maximum(y - eta * g_y, 0.0), False)
-        (_, _, _, eta, x_next, _), _ = jax.lax.scan(ls_step, init, None, length=maxls)
+        x_next, eta = line_search(y, f_y, g_y, eta)
         t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         y_next = x_next + ((t - 1.0) / t_next) * (x_next - x)
         # allow the stepsize to grow back so one hard iteration does not
