@@ -52,6 +52,17 @@ def setup():
 
         batching.__dict__["BatchTracer"] = _b.BatchTracer
 
+        # jax.experimental.maps was removed; the reference only uses
+        # maps.Mesh as a type annotation (replay_buffers.py:24,283)
+        _mod("jax.experimental.maps", Mesh=jax.sharding.Mesh)
+
+        # pjit.PartitionSpec moved to jax.sharding (the reference reads it
+        # at class-definition time, replay_buffers.py:285,321)
+        from jax.experimental import pjit as _pjit
+
+        if not hasattr(_pjit, "PartitionSpec"):
+            _pjit.PartitionSpec = jax.sharding.PartitionSpec
+
         import jax._src.core as _core
 
         class _FakeSublevel:

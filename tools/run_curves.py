@@ -83,14 +83,22 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="CURVES_r02")
     p.add_argument("--num_timesteps", type=int, default=None)
+    # smoke-test overrides (API validation on CPU before burning chip time)
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--num_evals", type=int, default=None)
+    p.add_argument("--episode_length", type=int, default=None)
+    p.add_argument("--min_replay_size", type=int, default=None)
     args = p.parse_args()
 
     if args.agent == "ppo":
         cfg = dict(PPO_COMMON, **PPO_CONFIGS[args.env])
     else:
         cfg = dict(SAC_COMMON, **SAC_CONFIGS[args.env])
-    if args.num_timesteps:
-        cfg["num_timesteps"] = args.num_timesteps
+    for k in ("num_timesteps", "num_envs", "num_evals", "episode_length",
+              "min_replay_size"):
+        v = getattr(args, k)
+        if v is not None and (k != "min_replay_size" or args.agent == "sac"):
+            cfg[k] = v
 
     if args.impl == "ref":
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
@@ -116,7 +124,24 @@ def main():
     print(f"{args.impl} {args.agent} {args.env} seed={args.seed} on "
           f"{jax.devices()}", flush=True)
 
-    env = E._envs[args.env]()
+    if args.env == "humanoid":
+        # the fork's registered 'humanoid' (humanoid_new) crashes on
+        # construction (KeyError 'Target', humanoid_new.py:214 — see
+        # tests/test_env_suite_parity.py); compare the WORKING pair:
+        # reference humanoid.Humanoid <-> our HumanoidLegacy parity twin
+        if args.impl == "ref":
+            # the fork's envs/__init__ rebinds the 'humanoid' attribute to
+            # humanoid_new; import the real module by path
+            import importlib
+
+            _h = importlib.import_module("brax.envs.humanoid")
+            env = _h.Humanoid()
+        else:
+            from brax_tpu.envs import humanoid as _h
+
+            env = _h.HumanoidLegacy()
+    else:
+        env = E._envs[args.env]()
     curve = {
         "impl": args.impl, "agent": args.agent, "env": args.env,
         "seed": args.seed, "hyperparams": cfg,
