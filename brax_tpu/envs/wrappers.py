@@ -24,6 +24,25 @@ def wrap_for_training(env: base.Env, episode_length: int = 1000,
     return env
 
 
+def wrap_for_training_any(env, episode_length: int = 1000,
+                          action_repeat: int = 1):
+    """v1/v2 dispatch: v2 (generalized-coordinate) envs get the v2 wrapper
+    stack, everything else the v1 stack.  Lets every trainer accept both
+    engine generations (parity: reference v2/training/agents share the v1
+    trainers the same way)."""
+    from brax_tpu.v2.envs import env as v2_env_mod
+
+    if isinstance(env, v2_env_mod.Env):
+        from brax_tpu.v2.envs import wrappers as v2_wrappers
+
+        return v2_wrappers.wrap_for_training(
+            env, episode_length=episode_length, action_repeat=action_repeat
+        )
+    return wrap_for_training(
+        env, episode_length=episode_length, action_repeat=action_repeat
+    )
+
+
 class VmapWrapper(base.Wrapper):
     """Vectorizes the env over a leading batch axis."""
 

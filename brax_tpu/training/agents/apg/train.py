@@ -65,7 +65,7 @@ def train(
 
     num_evals_after_init = max(num_evals - 1, 1)
 
-    env = wrappers.wrap_for_training(
+    env = wrappers.wrap_for_training_any(
         environment, episode_length=episode_length, action_repeat=action_repeat
     )
 
@@ -194,7 +194,7 @@ def train(
     if not eval_env:
         eval_env = env
     else:
-        eval_env = wrappers.wrap_for_training(
+        eval_env = wrappers.wrap_for_training_any(
             eval_env, episode_length=episode_length, action_repeat=action_repeat
         )
     evaluator = acting.Evaluator(

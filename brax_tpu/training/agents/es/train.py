@@ -103,7 +103,7 @@ def train(
     num_env_steps_between_evals = num_timesteps // num_evals_after_init
     next_eval_step = num_timesteps - (num_evals_after_init - 1) * num_env_steps_between_evals
 
-    env = wrappers.wrap_for_training(
+    env = wrappers.wrap_for_training_any(
         environment, episode_length=episode_length, action_repeat=action_repeat
     )
     obs_size = env.observation_size
@@ -290,7 +290,7 @@ def train(
     if not eval_env:
         eval_env = env
     else:
-        eval_env = wrappers.wrap_for_training(
+        eval_env = wrappers.wrap_for_training_any(
             eval_env, episode_length=episode_length, action_repeat=action_repeat
         )
     evaluator = acting.Evaluator(

@@ -115,14 +115,7 @@ def train(
 
     # v2 (generalized-coordinate) envs use their own wrapper stack; same
     # trainer otherwise (reference v2/training/agents/ppo/train.py:105-110)
-    from brax_tpu.v2.envs import env as v2_env_mod
-    from brax_tpu.v2.envs import wrappers as v2_wrappers
-
-    _wrap = (
-        v2_wrappers.wrap_for_training
-        if isinstance(environment, v2_env_mod.Env)
-        else wrappers.wrap_for_training
-    )
+    _wrap = wrappers.wrap_for_training_any
     env = _wrap(
         environment, episode_length=episode_length, action_repeat=action_repeat
     )

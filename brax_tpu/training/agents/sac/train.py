@@ -113,7 +113,7 @@ def train(
         // (num_evals_after_init * env_steps_per_actor_step)
     )
 
-    env = wrappers.wrap_for_training(
+    env = wrappers.wrap_for_training_any(
         environment, episode_length=episode_length, action_repeat=action_repeat
     )
     obs_size = env.observation_size
@@ -386,7 +386,7 @@ def train(
     if not eval_env:
         eval_env = env
     else:
-        eval_env = wrappers.wrap_for_training(
+        eval_env = wrappers.wrap_for_training_any(
             eval_env, episode_length=episode_length, action_repeat=action_repeat
         )
     evaluator = acting.Evaluator(
