@@ -210,13 +210,38 @@ def inverse(sys: System, x: Transform, xd: Motion) -> Tuple[Array, Array]:
         qd = jnp.where(motion.ang.any(), ang_vel, vel)
         return q, qd
 
+    def mixed_dof(j, jd, motion, n):
+        """2/3-dof joints that may mix prismatic and revolute axes.
+
+        Pure-rotational joints keep the Euler (line-of-nodes)
+        decomposition; joints with slide rows (e.g. planar roots:
+        slide-slide-hinge) select per dof — prismatic rows read
+        coordinates from axis_slide_vel, and a lone revolute row extracts
+        its angle directly from the joint quaternion about its own axis
+        (exact when the joint has a single rotational dof, which is the
+        only way slides and hinges mix in MJCF-shaped systems).  The
+        reference leaves these joints on the angles-only path
+        (kinematics.py:284-290) and mis-reads planar roots.
+        """
+        _, _, angles, ang_vels = axis_angle_ang(j, jd, motion)
+        _, slides, slide_vels = axis_slide_vel(j, jd, motion)
+        is_ang = motion.ang.any(axis=-1)[:n]
+        pure_rot = is_ang.all()
+        axis = motion.ang[:n]
+        axis = axis / (1e-10 + maths.safe_norm(axis, axis=-1)[..., None])
+        single = 2.0 * jnp.arctan2(axis @ j.rot[1:], j.rot[0])
+        single_vel = axis @ jd.ang
+        ang_q = jnp.where(pure_rot, jnp.array(angles[:n]), single)
+        ang_qd = jnp.where(pure_rot, jnp.array(ang_vels[:n]), single_vel)
+        q = jnp.where(is_ang, ang_q, slides[:n])
+        qd = jnp.where(is_ang, ang_qd, slide_vels[:n])
+        return q, qd
+
     def two_dof(j, jd, motion):
-        _, _, angles, vels = axis_angle_ang(j, jd, motion)
-        return jnp.array(angles[0:2]), jnp.array(vels[0:2])
+        return mixed_dof(j, jd, motion, 2)
 
     def three_dof(j, jd, motion):
-        _, _, angles, vels = axis_angle_ang(j, jd, motion)
-        return jnp.array(angles[0:3]), jnp.array(vels[0:3])
+        return mixed_dof(j, jd, motion, 3)
 
     def free(x, xd, _):
         return jnp.concatenate([x.pos, x.rot]), jnp.concatenate([xd.vel, xd.ang])

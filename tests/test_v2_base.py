@@ -192,3 +192,25 @@ def test_urdf_import_laikago():
     np.testing.assert_allclose(lower, 0.341, atol=1e-6)
     x, xd = kinematics.forward(sys, sys.init_q, jnp.zeros(sys.qd_size()))
     assert bool(jnp.all(jnp.isfinite(x.pos)))
+
+
+def test_inverse_kinematics_planar_root_roundtrip():
+    """Mixed slide/hinge joints (planar roots) invert exactly: per-dof
+    selection between prismatic coordinates and the single-revolute-axis
+    quaternion angle.  The reference's inverse() reads 2/3-dof joints as
+    angles only (kinematics.py:284-290) and mis-reads planar roots; ours
+    roundtrips forward() -> inverse() to float32 eps."""
+    import jax
+    import jax.numpy as jnp
+
+    from brax_tpu.v2 import kinematics
+    from brax_tpu.v2.envs import halfcheetah as hc
+
+    sys = hc.Halfcheetah(backend="generalized").sys
+    rng = jax.random.PRNGKey(0)
+    q = sys.init_q + 0.2 * jax.random.normal(rng, (sys.q_size(),))
+    qd = 0.3 * jax.random.normal(jax.random.fold_in(rng, 1), (sys.qd_size(),))
+    x, xd = kinematics.forward(sys, q, qd)
+    q2, qd2 = kinematics.inverse(sys, x, xd)
+    assert float(jnp.max(jnp.abs(q - q2))) < 1e-5
+    assert float(jnp.max(jnp.abs(qd - qd2))) < 1e-5
