@@ -51,18 +51,35 @@ def _composer_ppo(cfg: Dict[str, Any], progress_fn, output_dir):
     )
 
 
+def _desc_ppo(cfg: Dict[str, Any], progress_fn, output_dir):
+    """PPO on a registered composed task desc with optional desc_edits —
+    the reference composer_sweep mechanism (env_name + desc_edits axes)."""
+    from brax_tpu.composer import envs as cenvs
+    from brax_tpu.training.agents.ppo import train as ppo
+
+    # grid expansion round-trips nested dicts, so desc_edits arrives nested;
+    # edit_desc wants dotted paths — flatten back
+    desc_edits = cfg.get("desc_edits")
+    if desc_edits:
+        desc_edits = dict(experiments._flatten(desc_edits))
+    env = cenvs.create_env(
+        cfg["env_name"],
+        desc_edits=desc_edits,
+        episode_length=None,  # the trainer applies its own wrapper stack
+        auto_reset=False,
+        **cfg.get("env_params", {}),
+    )
+    params = dict(cfg.get("ppo_params", {}))
+    return ppo.train(
+        env, seed=cfg.get("seed", 0), progress_fn=progress_fn, **params
+    )
+
+
 def _pro_ant_ppo(cfg: Dict[str, Any], progress_fn, output_dir):
     cfg = dict(cfg)
-    cfg["components"] = {
-        "agent1": {
-            "component": "pro_ant",
-            "component_params": {"num_legs": cfg.pop("num_legs", 4)},
-            "reward_fns": {
-                "run": {"reward_type": "forward_velocity", "scale": 1.0}
-            },
-        }
-    }
-    return _composer_ppo(cfg, progress_fn, output_dir)
+    cfg["env_name"] = "pro_ant_run"
+    cfg["env_params"] = {"num_legs": cfg.pop("num_legs", 4)}
+    return _desc_ppo(cfg, progress_fn, output_dir)
 
 
 def _vgcrl(cfg: Dict[str, Any], progress_fn, output_dir):
@@ -118,6 +135,7 @@ def _mappo(cfg: Dict[str, Any], progress_fn, output_dir):
 AGENTS = {
     "ppo": _ppo,
     "composer_ppo": _composer_ppo,
+    "desc_ppo": _desc_ppo,
     "pro_ant_ppo": _pro_ant_ppo,
     "vgcrl": _vgcrl,
     "mappo": _mappo,
@@ -157,6 +175,16 @@ SWEEPS: Dict[str, Dict[str, Any]] = {
         "obs_indices": (0,),
         "seed": [0, 1],
         "ppo_params": dict(_PPO_FAST, num_timesteps=2**13),
+    },
+    # parity: composer_sweep.py ant_push desc_edits grid
+    "ant_push": {
+        "agent": "desc_ppo",
+        "env_name": "ant_push",
+        "desc_edits": {
+            "components.cap1.reward_fns.goal.scale": [0.2, 1.0, 0.5],
+        },
+        "seed": [0],
+        "ppo_params": dict(_PPO_FAST, num_timesteps=2**14),
     },
     # parity: chase_ma_sweep.py num-agents grid
     "ma_chase": {

@@ -102,6 +102,20 @@ class Composer:
                 merged.defaults[0].angles += d.angles
                 merged.defaults[0].qps += d.qps
 
+            # term_params (e.g. z_offset for agents standing on objects,
+            # ref sa_descs.py ant_on_ball): shift the frame the component's
+            # termination bounds are evaluated in
+            term_fn = spec.term_fn
+            term_params = desc.pop("term_params", None)
+            if term_params and term_fn is not None:
+                z_off = float(term_params.get("z_offset", 0.0))
+
+                def term_fn(done, qp, root_idx, _f=spec.term_fn, _z=z_off):
+                    shifted = qp.replace(
+                        pos=qp.pos - jnp.array([0.0, 0.0, _z])
+                    )
+                    return _f(done, shifted, root_idx)
+
             comp = dict(
                 name=name,
                 root=_ns(name, spec.root),
@@ -110,7 +124,7 @@ class Composer:
                 joints=[j.name for j in comp_cfg.joints],
                 actuators=[a.name for a in comp_cfg.actuators],
                 forces=[fo.name for fo in comp_cfg.forces],
-                term_fn=spec.term_fn,
+                term_fn=term_fn,
                 observers=list(desc.pop("observers", spec.observers)),
                 pos=jnp.asarray(desc.pop("pos", (0.0, 0.0, 0.0)), jnp.float32),
                 quat=jnp.asarray(desc.pop("quat", (1.0, 0.0, 0.0, 0.0)), jnp.float32),

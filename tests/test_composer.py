@@ -232,3 +232,35 @@ def test_octopus_and_pro_ant_components():
         for _ in range(3):
             s = step(s, 0.1 * jnp.ones((2, env.action_size)))
         assert bool(jnp.all(jnp.isfinite(s.obs))), comp
+
+
+def test_sa_descs_build_and_step():
+    """Single-agent task descs (parity: reference composer/envs/sa_descs.py)
+    + dotted-path desc_edits (the sweep mechanism)."""
+    from brax_tpu.composer import envs as cenvs
+
+    for task in ["ant_run", "ant_push", "pro_ant_run"]:
+        env = cenvs.create_env(task, episode_length=16, auto_reset=False)
+        s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+        s = jax.jit(env.step)(s, jnp.zeros((env.action_size,)))
+        assert bool(jnp.isfinite(jnp.sum(s.reward))), task
+
+    edited = cenvs.create_env(
+        "ant_push",
+        desc_edits={"components.cap1.reward_fns.goal.scale": 0.2},
+        episode_length=16,
+        auto_reset=False,
+    )
+    s = jax.jit(edited.reset)(jax.random.PRNGKey(0))
+    assert s.obs.shape == (edited.observation_size,)
+
+
+def test_term_params_z_offset():
+    """ant_on_ball terminates relative to its elevated start (term_params
+    z_offset shifts the component's height bounds)."""
+    from brax_tpu.composer import envs as cenvs
+
+    env = cenvs.create_env("ant_on_ball", episode_length=16, auto_reset=False)
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    # starts ~6m up on the ball but NOT terminated (bounds are shifted)
+    assert float(s.done) == 0.0
