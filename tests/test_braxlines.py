@@ -110,3 +110,53 @@ def test_gail_trains_on_fast():
         act, _ = policy(s.obs, jax.random.PRNGKey(t))
         s = step(s, act)
     assert float(s.obs[0]) > 0.01  # moved forward (position grew)
+
+
+def test_skill_evaluators(tmp_path):
+    """Per-skill rollouts, binned-MI diversity metrics, and plots
+    (parity: reference braxlines/{vgcrl,irl_smm}/evaluators.py)."""
+    from brax_tpu.braxlines import evaluators
+
+    fast = envs._envs["fast"]()
+    disc = discriminators.SkillDiscriminator(
+        obs_indices=(0,), obs_scale=5.0, z_size=2, q_fn="mlp",
+        dist_q="categorical", dist_p="categorical",
+    )
+    make_policy, params, _ = train.train_vgcrl(
+        fast, disc, num_timesteps=2**11, episode_length=32, num_envs=8,
+        unroll_length=4, batch_size=8, num_minibatches=2,
+        num_updates_per_batch=1, num_evals=2, normalize_observations=True,
+    )
+    policy = make_policy(params[:2])
+    zs, obs, rew = evaluators.rollout_skills(
+        fast, disc, policy, jax.random.PRNGKey(0), episode_length=32
+    )
+    assert zs.shape == (2, 2) and obs.shape == (2, 32, fast.observation_size)
+    m = evaluators.skill_metrics(disc, params[2], zs, obs)
+    assert 0.0 <= m["mi"] <= jnp.log(2) + 1e-6
+    assert jnp.isfinite(m["disc_reward_mean"])
+    evaluators.visualize_skills(zs, obs, (0,), output_path=str(tmp_path))
+    import os
+
+    assert os.path.isfile(tmp_path / "skills.png")
+
+
+def test_irl_evaluators(tmp_path):
+    import numpy as onp
+
+    from brax_tpu.braxlines import evaluators
+
+    irl = discriminators.IRLDiscriminator(
+        input_size=2, reward_type="gail", obs_indices=(0, 1)
+    )
+    ip = irl.init(jax.random.PRNGKey(1))
+    t = onp.linspace(-1, 1, 64)
+    target = jnp.asarray(onp.stack([t, onp.sin(t)], -1))
+    pol = jnp.zeros((64, 2))
+    d_self = evaluators.energy_distance(target, target)
+    d_cross = evaluators.energy_distance(target, pol)
+    assert abs(d_self) < 1e-5 and d_cross > 0.1
+    evaluators.visualize_disc(irl, ip, target, pol, output_path=str(tmp_path))
+    import os
+
+    assert os.path.isfile(tmp_path / "disc.png")
