@@ -37,10 +37,12 @@ PPO_CONFIGS = {
         discounting=0.99, unroll_length=5, batch_size=512,
         num_minibatches=8, num_updates_per_batch=4,
     ),
+    # reacher has no published sweep entry; use the reference's tuned
+    # defaults (braxlines/experiments/defaults.py:116-132) at 10M steps
     "reacher": dict(
         num_timesteps=10_000_000, reward_scaling=5.0, entropy_cost=1e-3,
-        discounting=0.95, unroll_length=5, batch_size=512,
-        num_minibatches=8, num_updates_per_batch=4,
+        discounting=0.95, unroll_length=50, batch_size=256,
+        num_minibatches=32, num_updates_per_batch=8, action_repeat=4,
     ),
     "humanoid": dict(
         num_timesteps=10_000_000, reward_scaling=5.0, entropy_cost=1e-3,
