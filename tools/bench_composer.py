@@ -24,6 +24,9 @@ def main():
     num_agents = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
     from brax_tpu.composer import envs as cenvs
+    from brax_tpu.sim import kernels
+
+    kernels.enable(True)  # fused Pallas physics on TPU (supported(sys)=True)
 
     env = cenvs.create_ma_env(
         task="chase",
