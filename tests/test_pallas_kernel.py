@@ -238,3 +238,41 @@ def test_rolled_substeps_match_unrolled(ant_batch):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
             )
+
+
+def test_tile_step_math_composed_scene():
+    """Fused-kernel math parity on a composed multi-agent scene (the
+    BASELINE config-5 bench enables the kernel for these systems)."""
+    from brax_tpu.composer import envs as cenvs
+
+    env = cenvs.create_env("chase", episode_length=16, auto_reset=False,
+                           num_agents=2)
+    inner = env
+    while hasattr(inner, "env"):
+        inner = inner.env
+    sys_ = inner.sys
+    assert kernels.supported(sys_)
+
+    n = 16
+    qp0 = jax.vmap(lambda k: inner.reset(k).qp)(
+        jax.random.split(jax.random.PRNGKey(0), n)
+    )
+    act = jax.random.uniform(
+        jax.random.PRNGKey(7), (n, inner.action_size), minval=-1, maxval=1
+    )
+    step_ref = jax.jit(jax.vmap(sys_.step, in_axes=(0, 0)))
+    qp = qp0
+    for _ in range(4):  # activate contacts
+        qp, _ = step_ref(qp, act)
+
+    tile_step = kernels._build_tile_step(sys_)
+    t = lambda x: jnp.transpose(x, (1, 2, 0))
+    u = lambda x: jnp.transpose(x, (2, 0, 1))
+    outs = jax.jit(tile_step)(t(qp.pos), t(qp.rot), t(qp.vel), t(qp.ang), act.T)
+    qp_ref, _ = step_ref(qp, act)
+    np.testing.assert_allclose(
+        np.asarray(u(outs[0])), np.asarray(qp_ref.pos), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(u(outs[2])), np.asarray(qp_ref.vel), atol=1e-4
+    )
