@@ -586,7 +586,9 @@ function startViewer(system, container) {
       });
     });
     const px = new Uint8Array(4);
-    gl.readPixels(x, canvas.height - y, 1, 1, gl.RGBA, gl.UNSIGNED_BYTE, px);
+    gl.readPixels(Math.max(0, Math.floor(x)),
+                  Math.max(0, Math.floor(canvas.height - y)),
+                  1, 1, gl.RGBA, gl.UNSIGNED_BYTE, px);
     gl.bindFramebuffer(gl.FRAMEBUFFER, null);
     const id = (Math.round(px[0]/255*15)<<4) | Math.round(px[1]/255*15);
     return id > 0 && id <= scene.bodies.length ? id - 1 : null;
