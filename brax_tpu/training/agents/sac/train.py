@@ -79,6 +79,8 @@ def train(
     network_factory: types.NetworkFactory = sac_networks.make_sac_networks,
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     checkpoint_logdir: Optional[str] = None,
+    checkpoint_dir: Optional[str] = None,
+    restore_checkpoint_path: Optional[str] = None,
     eval_env: Optional[envs.Env] = None,
     mesh=None,
     use_fused_kernel=None,
@@ -373,6 +375,33 @@ def train(
             running_statistics.ArraySpec((obs_size,), jnp.float32)
         ),
     )
+    # full-state checkpointing (both optimizers + alpha + normalizer + step
+    # counters) mirroring ppo/train.py:320-346; the replay buffer is NOT
+    # checkpointed (it is shard-local and max_replay_size-large) — a resumed
+    # run refills it through the usual min_replay_size prefill
+    checkpointer = None
+    if checkpoint_dir or restore_checkpoint_path:
+        import os
+
+        import orbax.checkpoint as ocp
+
+        checkpointer = ocp.StandardCheckpointer()
+        if restore_checkpoint_path is None and checkpoint_dir:
+            if os.path.isdir(checkpoint_dir):
+                steps = sorted(
+                    d for d in os.listdir(checkpoint_dir) if d.startswith("step_")
+                )
+                if steps:
+                    restore_checkpoint_path = os.path.join(
+                        os.path.abspath(checkpoint_dir), steps[-1]
+                    )
+        if restore_checkpoint_path:
+            training_state = checkpointer.restore(
+                restore_checkpoint_path,
+                jax.tree_util.tree_map(
+                    lambda x: ocp.utils.to_shape_dtype_struct(x), training_state
+                ),
+            )
     training_state = mesh_utils.put_replicated(training_state, mesh)
 
     local_key, rb_key, env_key, eval_key = jax.random.split(local_key, 4)
@@ -436,6 +465,14 @@ def train(
 
                 params = (training_state.normalizer_params, training_state.policy_params)
                 model.save_params(f"{checkpoint_logdir}_sac_{current_step}.pkl", params)
+            if checkpointer is not None and checkpoint_dir:
+                import os
+
+                path = os.path.join(
+                    os.path.abspath(checkpoint_dir), f"step_{current_step:012d}"
+                )
+                checkpointer.save(path, training_state)
+                checkpointer.wait_until_finished()
             metrics = evaluator.run_evaluation(
                 (training_state.normalizer_params, training_state.policy_params),
                 training_metrics,
