@@ -95,11 +95,14 @@ def train(
     # None = auto-enable on TPU; numerics match the XLA path to float32
     # round-off.  Explicit False opts out.
     from brax_tpu.sim import kernels as sim_kernels
+    from brax_tpu.v2.generalized import kernels as g_kernels
 
     if use_fused_kernel is None:
         use_fused_kernel = jax.default_backend() == "tpu"
     _prev_kernel_enabled = sim_kernels.enabled()
+    _prev_g_kernel_enabled = g_kernels.enabled()
     sim_kernels.enable(bool(use_fused_kernel))
+    g_kernels.enable(bool(use_fused_kernel))
 
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
@@ -422,4 +425,5 @@ def train(
         params = params + (training_state.extra_params,)
     mesh_utils.synchronize_hosts()
     sim_kernels.enable(_prev_kernel_enabled)
+    g_kernels.enable(_prev_g_kernel_enabled)
     return (make_policy, params, metrics)

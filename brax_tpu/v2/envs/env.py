@@ -93,7 +93,21 @@ class PipelineEnv(Env):
         return self._pipeline.init(self.sys, q, qd)
 
     def pipeline_step(self, pipeline_state: Any, action: jnp.ndarray) -> base.State:
-        """Scans n_frames physics steps."""
+        """Scans n_frames physics steps.
+
+        With the fused generalized kernel enabled (v2/generalized/kernels.py)
+        and the System supported, dispatches through a custom-vmap step whose
+        batching rule reroutes vmapped calls into one Pallas kernel; unbatched
+        calls and unsupported backends take the identical lax.scan path.
+        """
+        if self._backend == "generalized":
+            from brax_tpu.v2.generalized import kernels as g_kernels
+
+            if g_kernels.enabled() and g_kernels.supported(self.sys):
+                step_fn = g_kernels.custom_pipeline_step_for(
+                    self.sys, self._n_frames
+                )
+                return step_fn(pipeline_state, action)
 
         def f(state, _):
             return self._pipeline.step(self.sys, state, action), None

@@ -64,7 +64,54 @@ def main():
     print(
         f"pipeline.step: {batch*steps/dt:,.0f} phys-steps/s  ({dt/steps*1e3:.2f} ms/step)"
     )
-    print(f"RESULT {{\"env_steps_per_sec\": {env_sps:.0f}, \"batch\": {batch}}}")
+
+    # fused Pallas kernel: full env.step with kernel dispatch + bare kernel
+    fused_sps = 0.0
+    from brax_tpu.v2.generalized import kernels as gk
+
+    if gk.supported(sysm) and batch % gk.LANE == 0:
+        try:
+            kstep = jax.jit(
+                gk.build_pipeline_step_fn(sysm, env._n_frames, batch)
+            )
+            ps0 = state.pipeline_state
+            t0 = time.perf_counter()
+            kcur = jax.block_until_ready(kstep(ps0, act))
+            print(f"fused kernel jit: {time.perf_counter()-t0:.1f}s", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                kcur = kstep(kcur, act)
+            jax.block_until_ready(kcur)
+            dt = time.perf_counter() - t0
+            print(
+                f"fused kernel:  {batch*steps/dt:,.0f} env-steps/s"
+                f"  ({dt/steps*1e3:.2f} ms/step)"
+            )
+
+            gk.enable(True)
+            estep = jax.jit(jax.vmap(env.step))
+            t0 = time.perf_counter()
+            s2 = jax.block_until_ready(estep(state, act))
+            s2 = jax.block_until_ready(estep(s2, act))
+            print(f"fused env.step jit: {time.perf_counter()-t0:.1f}s", flush=True)
+            t0 = time.perf_counter()
+            cur = s2
+            for _ in range(steps):
+                cur = estep(cur, act)
+            jax.block_until_ready(cur)
+            dt = time.perf_counter() - t0
+            fused_sps = batch * steps / dt
+            print(
+                f"fused env.step: {fused_sps:,.0f} env-steps/s"
+                f"  ({dt/steps*1e3:.2f} ms/step)"
+            )
+            gk.enable(False)
+        except Exception as e:  # noqa: BLE001 - report, keep the XLA numbers
+            print(f"fused kernel failed: {type(e).__name__}: {e}")
+    print(
+        f'RESULT {{"env_steps_per_sec": {env_sps:.0f}, '
+        f'"fused_env_steps_per_sec": {fused_sps:.0f}, "batch": {batch}}}'
+    )
 
 
 if __name__ == "__main__":
