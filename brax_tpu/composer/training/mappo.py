@@ -167,11 +167,23 @@ def train(
     deterministic_eval: bool = False,
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     mesh=None,
+    use_fused_kernel: Optional[bool] = None,
 ):
     """MAPPO training on a multi-agent ComponentEnv.
 
     Returns (make_joint_policy, (normalizer_params, agent_params), metrics).
     """
+    import jax as _jax
+
+    from brax_tpu.sim import kernels as _sim_kernels
+
+    # composed scenes lower to the fused whole-step kernel (all composer
+    # scene graphs are supported(); see tools/bench_composer.py)
+    if use_fused_kernel is None:
+        use_fused_kernel = _jax.default_backend() == "tpu"
+    _prev_kernel_enabled = _sim_kernels.enabled()
+    _sim_kernels.enable(bool(use_fused_kernel))
+
     inner = environment.unwrapped if hasattr(environment, "unwrapped") else environment
     assert getattr(inner, "is_multiagent", False), "environment must be multi-agent"
     agent_names = inner.agent_names
@@ -364,4 +376,5 @@ def train(
 
     params = (training_state.normalizer_params, training_state.params)
     mesh_utils.synchronize_hosts()
+    _sim_kernels.enable(_prev_kernel_enabled)
     return (make_policy, params, metrics)

@@ -55,8 +55,23 @@ def train(
     progress_fn: Callable[[int, Metrics], None] = lambda *args: None,
     eval_env: Optional[envs.Env] = None,
     mesh=None,
+    use_fused_kernel: Optional[bool] = None,
 ):
     """Direct trajectory optimization; returns (make_policy, params, metrics)."""
+    import jax as _jax
+
+    from brax_tpu.sim import kernels as _sim_kernels
+    from brax_tpu.v2.generalized import kernels as _g_kernels
+
+    # Both fused kernels carry custom VJPs (Pallas forward, XLA backward),
+    # so APG's grads flow through them.
+    if use_fused_kernel is None:
+        use_fused_kernel = _jax.default_backend() == "tpu"
+    _prev_kernel_enabled = _sim_kernels.enabled()
+    _prev_g_kernel_enabled = _g_kernels.enabled()
+    _sim_kernels.enable(bool(use_fused_kernel))
+    _g_kernels.enable(bool(use_fused_kernel))
+
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
     assert num_envs % device_count == 0
@@ -232,4 +247,6 @@ def train(
 
     params = (training_state.normalizer_params, training_state.policy_params)
     mesh_utils.synchronize_hosts()
+    _sim_kernels.enable(_prev_kernel_enabled)
+    _g_kernels.enable(_prev_g_kernel_enabled)
     return (make_policy, params, metrics)

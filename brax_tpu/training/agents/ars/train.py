@@ -61,11 +61,14 @@ def train(
     import jax as _jax
 
     from brax_tpu.sim import kernels as _sim_kernels
+    from brax_tpu.v2.generalized import kernels as _g_kernels
 
     if use_fused_kernel is None:
         use_fused_kernel = _jax.default_backend() == "tpu"
     _prev_kernel_enabled = _sim_kernels.enabled()
+    _prev_g_kernel_enabled = _g_kernels.enabled()
     _sim_kernels.enable(bool(use_fused_kernel))
+    _g_kernels.enable(bool(use_fused_kernel))
 
     top_directions = min(top_directions, number_of_directions)
     num_envs = number_of_directions * 2  # noise + anti-noise
@@ -287,4 +290,5 @@ def train(
 
     params = (training_state.normalizer_params, training_state.policy_params)
     _sim_kernels.enable(_prev_kernel_enabled)
+    _g_kernels.enable(_prev_g_kernel_enabled)
     return (make_policy, params, metrics)

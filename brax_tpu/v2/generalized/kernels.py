@@ -9,10 +9,12 @@ and the reference's own profile note at
 /root/reference/brax/v2/generalized/constraint.py:206-217).
 
 This module compiles the ENTIRE env-step physics — all `n_frames` pipeline
-steps: forward kinematics, sphere-plane narrowphase, CoM-frame spatial
-inertia/dof transforms, RNE bias forces, CRB mass matrix, warm-started
-Newton-Schulz inverse, constraint jacobian, FISTA NNLS contact solve,
-semi-implicit integration — into ONE Pallas kernel per environment tile.
+steps: forward kinematics (free/1/2/3-dof joints), sphere/capsule-plane
+narrowphase, CoM-frame spatial inertia/dof transforms, RNE bias forces,
+CRB mass matrix, warm-started Newton-Schulz inverse, constraint jacobian,
+FISTA NNLS contact solve, semi-implicit integration — into ONE Pallas
+kernel per environment tile.  Covers the whole v2 env family (ant,
+halfcheetah, humanoid, inverted_pendulum).
 
 Design (see /opt/skills/guides/pallas_guide.md and brax_tpu/sim/kernels.py,
 whose square-vreg layout this reuses):
@@ -51,7 +53,7 @@ import jax.numpy as jnp
 import numpy as onp
 
 from brax_tpu.v2 import masks
-from brax_tpu.v2.base import Plane, Sphere, System, Transform
+from brax_tpu.v2.base import Capsule, Plane, Sphere, System, Transform
 from brax_tpu.v2.generalized.base import State
 from brax_tpu.v2.generalized.mass import NS_ITERS
 
@@ -179,6 +181,31 @@ def _eye(n: int) -> Array:
     return (r == c).astype(jnp.float32)
 
 
+def _np_rotate(v: onp.ndarray, q: onp.ndarray) -> onp.ndarray:
+    """Static quaternion rotation in float64 numpy (build-time)."""
+    v = onp.asarray(v, onp.float64)
+    w, x, y, z = onp.asarray(q, onp.float64)
+    u = onp.array([x, y, z])
+    return onp.asarray(
+        v * (w * w - u @ u) + 2.0 * u * (u @ v) + 2.0 * w * onp.cross(u, v),
+        onp.float32,
+    )
+
+
+def _np_qmul(u: onp.ndarray, v: onp.ndarray) -> onp.ndarray:
+    u = onp.asarray(u, onp.float64)
+    v = onp.asarray(v, onp.float64)
+    return onp.asarray(
+        [
+            u[0] * v[0] - u[1] * v[1] - u[2] * v[2] - u[3] * v[3],
+            u[0] * v[1] + u[1] * v[0] + u[2] * v[3] - u[3] * v[2],
+            u[0] * v[2] - u[1] * v[3] + u[2] * v[0] + u[3] * v[1],
+            u[0] * v[3] + u[1] * v[2] - u[2] * v[1] + u[3] * v[0],
+        ],
+        onp.float32,
+    )
+
+
 # ---------------------------------------------------------------------------
 # static scene extraction
 # ---------------------------------------------------------------------------
@@ -260,37 +287,59 @@ class _Plan:
         )
         self.act_qdid = [int(i) for i in (sys.actuator_qdid or ())]
 
-        # sphere-plane contacts (world-static planes; see supported())
+        # sphere/capsule vs world-static-plane contacts (see supported()).
+        # Ordering must match geometry.contact: _capsule_plane is vmapped
+        # per capsule then flattened by the concatenates at
+        # contact.py:256-268, so rows interleave per capsule (+end, -end).
         self.c_link: List[int] = []
         self.c_lpos: List[onp.ndarray] = []
         self.c_radius: List[float] = []
         self.c_friction: List[float] = []
+        self.c_elasticity: List[float] = []
         self.c_normal: List[onp.ndarray] = []
         self.c_ppos: List[onp.ndarray] = []
         for ga, gb in sys.contacts or ():
             s_pos = onp.asarray(ga.transform.pos, onp.float32)
+            s_rot = onp.asarray(ga.transform.rot, onp.float32)
             s_rad = onp.asarray(ga.radius, onp.float32)
             s_fric = onp.asarray(ga.friction, onp.float32)
+            s_elast = onp.asarray(ga.elasticity, onp.float32)
             p_pos = onp.asarray(gb.transform.pos, onp.float32)
             p_rot = onp.asarray(gb.transform.rot, onp.float32)
             p_fric = onp.asarray(gb.friction, onp.float32)
+            p_elast = onp.asarray(gb.elasticity, onp.float32)
+            if isinstance(ga, Sphere):
+                offs: List[Optional[float]] = [None]  # single center point
+            else:  # Capsule: one end-sphere per manifold row
+                length = onp.asarray(ga.length, onp.float32)
+                offs = [0.5, -0.5]
             for k in range(s_pos.shape[0]):
-                self.c_link.append(int(ga.link_idx[k]))
-                self.c_lpos.append(s_pos[k])
-                self.c_radius.append(float(s_rad[k]))
-                self.c_friction.append(float(max(s_fric[k], p_fric[k])))
-                # plane normal/pos are static: rotate +z by the plane quat
-                w, x, y, z = p_rot[k]
-                n = onp.array(
-                    [
-                        2 * (x * z + w * y),
-                        2 * (y * z - w * x),
-                        w * w - x * x - y * y + z * z,
-                    ],
-                    onp.float32,
-                )
-                self.c_normal.append(n)
-                self.c_ppos.append(p_pos[k])
+                for sign in offs:
+                    lpos = s_pos[k]
+                    if sign is not None:
+                        seg = _np_rotate(
+                            onp.array([0.0, 0.0, float(length[k])]), s_rot[k]
+                        )
+                        lpos = lpos + onp.float32(sign) * seg
+                    self.c_link.append(int(ga.link_idx[k]))
+                    self.c_lpos.append(onp.asarray(lpos, onp.float32))
+                    self.c_radius.append(float(s_rad[k]))
+                    self.c_friction.append(float(max(s_fric[k], p_fric[k])))
+                    self.c_elasticity.append(
+                        float(max(s_elast[k], p_elast[k]))
+                    )
+                    # plane normal/pos are static: rotate +z by the plane quat
+                    w, x, y, z = p_rot[k]
+                    n = onp.array(
+                        [
+                            2 * (x * z + w * y),
+                            2 * (y * z - w * x),
+                            w * w - x * x - y * y + z * z,
+                        ],
+                        onp.float32,
+                    )
+                    self.c_normal.append(n)
+                    self.c_ppos.append(p_pos[k])
         self.nc = len(self.c_link)
 
         # limit rows follow the reference's q_idx('123') order
@@ -312,16 +361,19 @@ class _Plan:
 def supported(sys: System) -> bool:
     """True when this System lowers to the fused kernel.
 
-    Covers: free-root + 1-dof-link trees (hinge or slide), motor actuators,
-    sphere vs world-static-plane contacts — the generalized ant family.
+    Covers: free/1/2/3-dof link trees (hinges, slides, and their stacked
+    compositions — ant, halfcheetah, humanoid, inverted_pendulum), motor
+    actuators, sphere/capsule vs world-static-plane contacts.
     """
     try:
-        if not all(t in "f1" for t in sys.link_types):
+        if not all(t in "f123" for t in sys.link_types):
             return False
         if sys.actuator_types and set(sys.actuator_types) != {"m"}:
             return False
         for ga, gb in sys.contacts or ():
-            if not (isinstance(ga, Sphere) and isinstance(gb, Plane)):
+            if not (
+                isinstance(ga, (Sphere, Capsule)) and isinstance(gb, Plane)
+            ):
                 return False
             if gb.link_idx is not None:
                 return False
@@ -353,11 +405,22 @@ def _fk(p: _Plan, q):
             j_pos[l] = q[qo : qo + 3]
             j_rot[l] = q[qo + 3 : qo + 7]
         else:
-            ang = q[qo]
-            axis = _c3(p.motion_ang[p.qd_off[l]])
-            rot, _ = _normalize_with_norm(_quat_rot_axis(axis, ang))
-            j_rot[l] = rot
-            j_pos[l] = _c3(p.motion_vel[p.qd_off[l]]) * ang[None]
+            # compose per-dof transforms j = j0.do(j1)... (kinematics.py
+            # _joint_transform_motion's jcalc loop); 1-dof reduces to the
+            # single axis rotation/translation
+            jp = jr = None
+            do = p.qd_off[l]
+            for i in range(p.qd_width[l]):
+                qi = q[qo + i]
+                axis = _c3(p.motion_ang[do + i])
+                rot_i, _ = _normalize_with_norm(_quat_rot_axis(axis, qi))
+                pos_i = _c3(p.motion_vel[do + i]) * qi[None]
+                if jp is None:
+                    jp, jr = pos_i, rot_i
+                else:
+                    jp = jp + _rotate(pos_i, jr)
+                    jr = _qmul(jr, rot_i)
+            j_pos[l], j_rot[l] = jp, jr
         # anchor offset then parent-frame placement (kinematics.py:69-71)
         anchor = _rotate(_c3(p.j_pos[l]) * jnp.ones_like(j_rot[l][:1]), j_rot[l])
         j_pos[l] = j_pos[l] + _c3(p.j_pos[l]) - anchor
@@ -383,12 +446,26 @@ def _fk_vel(p: _Plan, q, qd, x_pos, x_rot):
     jd_vel: List[Any] = [None] * p.nl
     for l, t in enumerate(p.link_types):
         do = p.qd_off[l]
+        qo = p.q_off[l]
         if t == "f":
             jd_ang[l] = qd[do + 3 : do + 6]
             jd_vel[l] = qd[do : do + 3]
         else:
-            jd_ang[l] = _c3(p.motion_ang[do]) * qd[do][None]
-            jd_vel[l] = _c3(p.motion_vel[do]) * qd[do][None]
+            # accumulate per-dof motions through each dof's own transform
+            # (kinematics.py _joint_transform_motion's jd loop)
+            ja = _c3(p.motion_ang[do]) * qd[do][None]
+            jv = _c3(p.motion_vel[do]) * qd[do][None]
+            for i in range(1, p.qd_width[l]):
+                d = do + i
+                qi = q[qo + i]
+                axis = _c3(p.motion_ang[d])
+                rot_i, _ = _normalize_with_norm(_quat_rot_axis(axis, qi))
+                pos_i = _c3(p.motion_vel[d]) * qi[None]
+                jdi_ang = _c3(p.motion_ang[d]) * qd[d][None]
+                jdi_vel = _c3(p.motion_vel[d]) * qd[d][None]
+                ja = ja + _rotate(jdi_ang, rot_i)
+                jv = jv + _rotate(jdi_vel + _cross(pos_i, jdi_ang), rot_i)
+            jd_ang[l], jd_vel[l] = ja, jv
 
     xd_ang: List[Any] = [None] * p.nl
     xd_vel: List[Any] = [None] * p.nl
@@ -471,25 +548,62 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
         cinr_i.append(rirt + hht * float(p.mass[l]))
         cinr_h.append(pos * float(p.mass[l]))
 
-    # joint frames: j = x[com_parent].do(link.transform).do(link.joint)
+    # joint frames: j = x[com_parent].do(link.transform).do(link.joint);
+    # root links without a free joint anchor to the world identity frame
+    # (the jnp path's Transform.zero pad at take(-1))
     jf_pos, jf_rot = [], []
+    ones = jnp.ones_like(com[:1])
     for l in range(p.nl):
         par = p.com_parent[l]
+        if par == -1:
+            a_np = p.t_pos[l] + _np_rotate(p.j_pos[l], p.t_rot[l])
+            r_np = _np_qmul(p.t_rot[l], p.j_rot[l])
+            jf_pos.append(_c3(a_np) * ones)
+            jf_rot.append(_c4(r_np) * ones)
+            continue
         a_pos = x_pos[par] + _rotate(_c3(p.t_pos[l]) * jnp.ones_like(x_pos[par][:1]), x_rot[par])
         a_rot = _qmul(x_rot[par], _c4(p.t_rot[l]) + 0 * x_rot[par])
         jf_pos.append(a_pos + _rotate(_c3(p.j_pos[l]) * jnp.ones_like(a_pos[:1]), a_rot))
         jf_rot.append(_qmul(a_rot, _c4(p.j_rot[l]) + 0 * a_rot))
 
-    # cdof rows (dynamics.py:43-73)
-    cdof_ang, cdof_vel = [], []
-    for d in range(p.nd):
-        l = p.dof_link[d]
-        ones = jnp.ones_like(com[:1])
-        ang = _rotate(_c3(p.motion_ang[d]) * ones, jf_rot[l])
-        vel = _c3(p.motion_vel[d]) * ones
-        vel = vel - _cross(com - jf_pos[l], ang)
-        cdof_ang.append(ang)
-        cdof_vel.append(vel)
+    # cdof rows (dynamics.py:43-73): each dof's motion seen through the
+    # preceding dofs' joint transforms (the jnp cdof_fn acc chain), then
+    # ang rotated into the world joint frame and vel offset to the CoM
+    cdof_ang: List[Any] = [None] * p.nd
+    cdof_vel: List[Any] = [None] * p.nd
+    for l, t in enumerate(p.link_types):
+        do, qo = p.qd_off[l], p.q_off[l]
+        if t == "f":
+            for i in range(6):
+                d = do + i
+                ang = _rotate(_c3(p.motion_ang[d]) * ones, jf_rot[l])
+                vel = _c3(p.motion_vel[d]) * ones - _cross(com - jf_pos[l], ang)
+                cdof_ang[d], cdof_vel[d] = ang, vel
+            continue
+        acc_pos = acc_rot = None  # identity accumulated transform
+        for i in range(p.qd_width[l]):
+            d = do + i
+            m_ang = _c3(p.motion_ang[d]) * ones
+            m_vel = _c3(p.motion_vel[d]) * ones
+            if acc_rot is None:
+                ang_loc, vel_loc = m_ang, m_vel
+            else:
+                ang_loc = _rotate(m_ang, acc_rot)
+                vel_loc = _rotate(m_vel + _cross(acc_pos, m_ang), acc_rot)
+            ang = _rotate(ang_loc, jf_rot[l])
+            vel = vel_loc - _cross(com - jf_pos[l], ang)
+            cdof_ang[d], cdof_vel[d] = ang, vel
+            if i + 1 < p.qd_width[l]:
+                qi = q[qo + i]
+                rot_i, _ = _normalize_with_norm(
+                    _quat_rot_axis(_c3(p.motion_ang[d]), qi)
+                )
+                pos_i = _c3(p.motion_vel[d]) * qi[None]
+                if acc_rot is None:
+                    acc_pos, acc_rot = pos_i, rot_i
+                else:
+                    acc_pos = acc_pos + _rotate(pos_i, acc_rot)
+                    acc_rot = _qmul(acc_rot, rot_i)
 
     cdof_qd_ang = [cdof_ang[d] * qd[d][None] for d in range(p.nd)]
     cdof_qd_vel = [cdof_vel[d] * qd[d][None] for d in range(p.nd)]
@@ -521,11 +635,20 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
                         lin_vel, cdof_ang[d]
                     )
         else:
-            d = do
+            # cds[i] = parent cd + preceding same-link cdof*qd rows
+            # (dynamics.py cdofd_fn); roots see the zero pad, not link -1
             par = p.com_parent[l]
-            pa, pv = cd_ang[par], cd_vel[par]
-            cdofd_ang[d] = _cross(pa, cdof_ang[d])
-            cdofd_vel[d] = _cross(pa, cdof_vel[d]) + _cross(pv, cdof_ang[d])
+            if par == -1:
+                pa = pv = jnp.zeros_like(cdof_ang[do])
+            else:
+                pa, pv = cd_ang[par], cd_vel[par]
+            for i in range(p.qd_width[l]):
+                d = do + i
+                cdofd_ang[d] = _cross(pa, cdof_ang[d])
+                cdofd_vel[d] = _cross(pa, cdof_vel[d]) + _cross(pv, cdof_ang[d])
+                if i + 1 < p.qd_width[l]:
+                    pa = pa + cdof_qd_ang[d]
+                    pv = pv + cdof_qd_vel[d]
 
     return com, (cinr_i, cinr_h), (cd_ang, cd_vel), (cdof_ang, cdof_vel), (
         cdofd_ang,
@@ -796,8 +919,14 @@ def _integrate(p: _Plan, q, qd, qdd):
             outs.append(pos)
             outs.append(rot)
         else:
-            outs.append(q[qo : qo + 1] + qd[do : do + 1] * dt)
+            w = p.q_width[l]
+            outs.append(q[qo : qo + w] + qd[do : do + w] * dt)
     return jnp.concatenate(outs, axis=0), qd
+
+
+# frame counts at or above this roll into a fori_loop inside the kernel
+# (trades a little scheduling freedom for much faster Mosaic compiles)
+_ROLL_MIN = 3
 
 
 def _build_tile_frames(sys: System, n_frames: int):
@@ -860,8 +989,15 @@ def _build_tile_frames(sys: System, n_frames: int):
 
     def tile_frames(q, qd, minv, act):
         carry = (q, qd, minv)
-        for _ in range(n_frames):
-            carry = step(carry, act)
+        if n_frames >= _ROLL_MIN:
+            # roll identical frames into fori_loop: Mosaic compile time
+            # scales with unrolled op count (cf. sim/kernels.py _ROLL_MIN)
+            carry = jax.lax.fori_loop(
+                0, n_frames, lambda _, c: step(c, act), carry
+            )
+        else:
+            for _ in range(n_frames):
+                carry = step(carry, act)
         q, qd, minv = carry
         # final refresh of world transforms + contacts for the State
         x_pos, x_rot = _fk(p, q)
@@ -948,7 +1084,7 @@ def build_pipeline_step_fn(
     # static contact metadata for rebuilding State.contact
     c_normal = onp.stack(p.c_normal) if p.nc else onp.zeros((0, 3), onp.float32)
     c_fric = onp.asarray(p.c_friction, onp.float32)
-    c_elast = _static_elasticity(sys)
+    c_elast = onp.asarray(p.c_elasticity, onp.float32)
     c_link = onp.asarray(p.c_link, onp.int32)
 
     def to_tile(x):
@@ -997,15 +1133,6 @@ def build_pipeline_step_fn(
         return new
 
     return step
-
-
-def _static_elasticity(sys: System) -> onp.ndarray:
-    vals = []
-    for ga, gb in sys.contacts or ():
-        ea = onp.asarray(ga.elasticity, onp.float32)
-        eb = onp.asarray(gb.elasticity, onp.float32)
-        vals.extend(onp.maximum(ea, eb).tolist())
-    return onp.asarray(vals, onp.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -1,6 +1,6 @@
-"""Benchmark the v2 generalized pipeline on TPU (ant, batched env.step).
+"""Benchmark the v2 generalized pipeline on TPU (batched env.step).
 
-Usage: python tools/bench_v2_generalized.py [batch] [steps]
+Usage: python tools/bench_v2_generalized.py [batch] [steps] [env]
 Reports env-steps/s for the full env.step (n_frames physics steps + obs +
 reward) and for the bare physics pipeline.step.
 """
@@ -11,15 +11,27 @@ import time
 import jax
 import jax.numpy as jnp
 
-from brax_tpu.v2.envs import ant as ant_mod
 from brax_tpu.v2.generalized import pipeline
+
+
+def _make_env(name: str):
+    from brax_tpu.v2.envs import ant, halfcheetah, humanoid, inverted_pendulum
+
+    cls = {
+        "ant": ant.Ant,
+        "halfcheetah": halfcheetah.Halfcheetah,
+        "humanoid": humanoid.Humanoid,
+        "inverted_pendulum": inverted_pendulum.InvertedPendulum,
+    }[name]
+    return cls(backend="generalized")
 
 
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    env_name = sys.argv[3] if len(sys.argv) > 3 else "ant"
 
-    env = ant_mod.Ant(backend="generalized")
+    env = _make_env(env_name)
     sysm = env.sys
 
     rng = jax.random.PRNGKey(0)
@@ -78,6 +90,15 @@ def main():
             t0 = time.perf_counter()
             kcur = jax.block_until_ready(kstep(ps0, act))
             print(f"fused kernel jit: {time.perf_counter()-t0:.1f}s", flush=True)
+            # on-chip parity vs the XLA pipeline (one env-step)
+            ref = jax.block_until_ready(
+                jax.jit(jax.vmap(lambda s, a: _scan_frames(sysm, s, a, env._n_frames)))(
+                    ps0, act
+                )
+            )
+            dq = float(jnp.max(jnp.abs(kcur.q - ref.q)))
+            dqd = float(jnp.max(jnp.abs(kcur.qd - ref.qd)))
+            print(f"fused-vs-XLA parity (1 env-step): |dq|={dq:.2e} |dqd|={dqd:.2e}")
             t0 = time.perf_counter()
             for _ in range(steps):
                 kcur = kstep(kcur, act)
@@ -109,9 +130,16 @@ def main():
         except Exception as e:  # noqa: BLE001 - report, keep the XLA numbers
             print(f"fused kernel failed: {type(e).__name__}: {e}")
     print(
-        f'RESULT {{"env_steps_per_sec": {env_sps:.0f}, '
+        f'RESULT {{"env": "{env_name}", "env_steps_per_sec": {env_sps:.0f}, '
         f'"fused_env_steps_per_sec": {fused_sps:.0f}, "batch": {batch}}}'
     )
+
+
+def _scan_frames(sysm, s, a, n_frames):
+    def body(c, _):
+        return pipeline.step(sysm, c, a), None
+
+    return jax.lax.scan(body, s, (), n_frames)[0]
 
 
 if __name__ == "__main__":

@@ -27,8 +27,11 @@ if ! timeout 300 python -c "import jax, jax.numpy as jnp; print(float(jnp.ones((
 fi
 echo "chip alive"
 
-# 1. v2 generalized throughput after the structure-matmul rework
-run_step gen_bench_1024 3600 python tools/bench_v2_generalized.py 1024 50
+# 1. v2 generalized throughput: XLA path + the fused Pallas kernel
+#    (Mosaic compile of the whole-step kernel may take a while)
+run_step gen_bench_1024 7200 python tools/bench_v2_generalized.py 1024 50
+run_step gen_bench_hc_1024 7200 python tools/bench_v2_generalized.py 1024 50 halfcheetah
+run_step gen_bench_hum_1024 10800 python tools/bench_v2_generalized.py 1024 50 humanoid
 
 # 2. headline bench with MFU/roofline fields
 run_step bench_main 3600 python bench.py
