@@ -1,7 +1,8 @@
 """v2 environment registry (reference brax/v2/envs/__init__.py).
 
-The reference registers only `ant` on v2; halfcheetah, humanoid, and
-inverted_pendulum (prismatic joints) are ported here as well.
+The reference registers only `ant` on v2; the rest of the classic task
+suite (halfcheetah, hopper, humanoid, inverted pendulums, reacher,
+walker2d) is ported here as well.
 """
 
 from typing import Callable, Dict, Type
@@ -10,14 +11,22 @@ from brax_tpu.v2.envs import wrappers
 from brax_tpu.v2.envs.ant import Ant
 from brax_tpu.v2.envs.env import Env, PipelineEnv, State, Wrapper
 from brax_tpu.v2.envs.halfcheetah import Halfcheetah
+from brax_tpu.v2.envs.hopper import Hopper
 from brax_tpu.v2.envs.humanoid import Humanoid
+from brax_tpu.v2.envs.inverted_double_pendulum import InvertedDoublePendulum
 from brax_tpu.v2.envs.inverted_pendulum import InvertedPendulum
+from brax_tpu.v2.envs.reacher import Reacher
+from brax_tpu.v2.envs.walker2d import Walker2d
 
 _envs: Dict[str, Type[PipelineEnv]] = {
     "ant": Ant,
     "halfcheetah": Halfcheetah,
+    "hopper": Hopper,
     "humanoid": Humanoid,
+    "inverted_double_pendulum": InvertedDoublePendulum,
     "inverted_pendulum": InvertedPendulum,
+    "reacher": Reacher,
+    "walker2d": Walker2d,
 }
 
 

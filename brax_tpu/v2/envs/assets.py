@@ -318,3 +318,134 @@ def halfcheetah_xml() -> str:
   </contact>
 </mujoco>
 """
+
+
+def hopper_xml() -> str:
+    """Planar one-legged hopper: slide-slide-hinge root, thigh/leg/foot."""
+    return """
+<mujoco model="hopper">
+  <compiler angle="degree" inertiafromgeom="true"/>
+  <option timestep="0.008" iterations="4" collision="predefined"/>
+  <default>
+    <joint armature="1" damping="1" limited="true"/>
+    <geom friction="0.9 0.1 0.1"/>
+  </default>
+  <worldbody>
+    <geom name="floor" pos="0 0 0" size="40 40 40" type="plane"/>
+    <body name="torso" pos="0 0 1.25">
+      <joint armature="0" axis="1 0 0" damping="0" limited="false" name="rootx" pos="0 0 0" type="slide"/>
+      <joint armature="0" axis="0 0 1" damping="0" limited="false" name="rootz" pos="0 0 0" type="slide"/>
+      <joint armature="0" axis="0 1 0" damping="0" limited="false" name="rooty" pos="0 0 0" type="hinge"/>
+      <geom fromto="0 0 0.2 0 0 -0.2" name="torso_geom" size="0.05" type="capsule"/>
+      <body name="thigh" pos="0 0 -0.2">
+        <joint axis="0 -1 0" name="thigh_joint" pos="0 0 0" range="-150 0" type="hinge"/>
+        <geom fromto="0 0 0 0 0 -0.45" name="thigh_geom" size="0.05" type="capsule"/>
+        <body name="leg" pos="0 0 -0.45">
+          <joint axis="0 -1 0" name="leg_joint" pos="0 0 0" range="-150 0" type="hinge"/>
+          <geom fromto="0 0 0 0 0 -0.5" name="leg_geom" size="0.04" type="capsule"/>
+          <body name="foot" pos="0 0 -0.5">
+            <joint axis="0 -1 0" name="foot_joint" pos="0 0 0" range="-45 45" type="hinge"/>
+            <geom fromto="-0.13 0 0 0.26 0 0" name="foot_geom" size="0.06" type="capsule"/>
+          </body>
+        </body>
+      </body>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="200" joint="thigh_joint"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="200" joint="leg_joint"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="200" joint="foot_joint"/>
+  </actuator>
+  <contact>
+    <pair geom1="floor" geom2="foot_geom"/>
+    <pair geom1="floor" geom2="leg_geom"/>
+    <pair geom1="floor" geom2="torso_geom"/>
+  </contact>
+</mujoco>
+"""
+
+
+def walker2d_xml() -> str:
+    """Planar biped: slide-slide-hinge root, 2 x (thigh, leg, foot)."""
+    legs = []
+    for sfx in ("", "_left"):
+        legs.append(f"""
+      <body name="thigh{sfx}" pos="0 0 -0.2">
+        <joint axis="0 -1 0" name="thigh{sfx}_joint" pos="0 0 0" range="-150 0" type="hinge"/>
+        <geom fromto="0 0 0 0 0 -0.45" name="thigh{sfx}_geom" size="0.05" type="capsule"/>
+        <body name="leg{sfx}" pos="0 0 -0.45">
+          <joint axis="0 -1 0" name="leg{sfx}_joint" pos="0 0 0" range="-150 0" type="hinge"/>
+          <geom fromto="0 0 0 0 0 -0.5" name="leg{sfx}_geom" size="0.04" type="capsule"/>
+          <body name="foot{sfx}" pos="0.06 0 -0.5">
+            <joint axis="0 -1 0" name="foot{sfx}_joint" pos="-0.06 0 0" range="-45 45" type="hinge"/>
+            <geom fromto="-0.16 0 0 0.04 0 0" name="foot{sfx}_geom" size="0.06" type="capsule"/>
+          </body>
+        </body>
+      </body>""")
+    motors = "\n".join(
+        f'    <motor ctrllimited="true" ctrlrange="-1 1" gear="100" joint="{part}{sfx}_joint"/>'
+        for sfx in ("", "_left")
+        for part in ("thigh", "leg", "foot")
+    )
+    return f"""
+<mujoco model="walker2d">
+  <compiler angle="degree" inertiafromgeom="true"/>
+  <option timestep="0.008" iterations="4" collision="predefined"/>
+  <default>
+    <joint armature="0.01" damping="0.1" limited="true"/>
+    <geom friction="0.7 0.1 0.1"/>
+  </default>
+  <worldbody>
+    <geom name="floor" pos="0 0 0" size="40 40 40" type="plane"/>
+    <body name="torso" pos="0 0 1.25">
+      <joint armature="0" axis="1 0 0" damping="0" limited="false" name="rootx" pos="0 0 0" type="slide"/>
+      <joint armature="0" axis="0 0 1" damping="0" limited="false" name="rootz" pos="0 0 0" type="slide"/>
+      <joint armature="0" axis="0 1 0" damping="0" limited="false" name="rooty" pos="0 0 0" type="hinge"/>
+      <geom fromto="0 0 0.2 0 0 -0.2" name="torso_geom" size="0.05" type="capsule"/>
+      {''.join(legs)}
+    </body>
+  </worldbody>
+  <actuator>
+{motors}
+  </actuator>
+  <contact>
+    <pair geom1="floor" geom2="foot_geom"/>
+    <pair geom1="floor" geom2="foot_left_geom"/>
+    <pair geom1="floor" geom2="torso_geom"/>
+  </contact>
+</mujoco>
+"""
+
+
+def reacher_xml() -> str:
+    """Fixed-base 2-link planar arm + a kinematic target on x/y slides."""
+    return """
+<mujoco model="reacher">
+  <compiler angle="radian" inertiafromgeom="true"/>
+  <option gravity="0 0 0" timestep="0.01" iterations="4" collision="predefined"/>
+  <default>
+    <joint armature="1" damping="1" limited="true"/>
+    <geom friction="1 0.1 0.1"/>
+  </default>
+  <worldbody>
+    <body name="body0" pos="0 0 0.01">
+      <joint armature="0.02" axis="0 0 1" limited="false" name="joint0" pos="0 0 0" type="hinge"/>
+      <geom fromto="0 0 0 0.1 0 0" name="link0" size="0.01" type="capsule"/>
+      <body name="body1" pos="0.1 0 0">
+        <joint armature="0.02" axis="0 0 1" limited="true" name="joint1" pos="0 0 0" range="-3.0 3.0" type="hinge"/>
+        <geom fromto="0 0 0 0.1 0 0" name="link1" size="0.01" type="capsule"/>
+        <geom name="fingertip" pos="0.11 0 0" size="0.01" type="sphere"/>
+      </body>
+    </body>
+    <body name="target" pos="0 0 0.01">
+      <joint armature="0" axis="1 0 0" damping="100" limited="true" name="target_x" pos="0 0 0" range="-0.27 0.27" type="slide"/>
+      <joint armature="0" axis="0 1 0" damping="100" limited="true" name="target_y" pos="0 0 0" range="-0.27 0.27" type="slide"/>
+      <geom name="target_geom" pos="0 0 0" size="0.009" type="sphere"/>
+    </body>
+  </worldbody>
+  <actuator>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="200" joint="joint0"/>
+    <motor ctrllimited="true" ctrlrange="-1 1" gear="200" joint="joint1"/>
+  </actuator>
+</mujoco>
+"""

@@ -288,3 +288,64 @@ def test_v2_inverted_pendulum_env():
     for _ in range(5):
         state = step(state, jnp.zeros(env.action_size))
     assert bool(jnp.all(jnp.isfinite(state.obs)))
+
+
+def test_v2_hopper_env():
+    from brax_tpu.v2 import envs as v2_envs
+
+    env = v2_envs.create("hopper", episode_length=100)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (11,)
+    assert env.action_size == 3
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    assert float(state.pipeline_state.x.pos[0, 2]) > 0.7  # healthy height
+    assert float(state.done) == 0.0
+
+
+def test_v2_walker2d_env():
+    from brax_tpu.v2 import envs as v2_envs
+
+    env = v2_envs.create("walker2d", episode_length=100)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (17,)
+    assert env.action_size == 6
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    assert float(state.done) == 0.0
+
+
+def test_v2_reacher_env():
+    from brax_tpu.v2 import envs as v2_envs
+
+    env = v2_envs.create("reacher", episode_length=100)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (11,)
+    assert env.action_size == 2
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    # target stays where reset put it (kinematic: huge damping, no force)
+    t0 = jax.jit(env.reset)(jax.random.PRNGKey(0)).pipeline_state.q[2:4]
+    assert jnp.allclose(state.pipeline_state.q[2:4], t0, atol=1e-4)
+    # reward is -distance - ctrl_cost and distance <= 0.42 by construction
+    assert -0.45 < float(state.reward) <= 0.0
+
+
+def test_v2_inverted_double_pendulum_env():
+    from brax_tpu.v2 import envs as v2_envs
+
+    env = v2_envs.create("inverted_double_pendulum", episode_length=100)
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert state.obs.shape == (8,)
+    step = jax.jit(env.step)
+    for _ in range(5):
+        state = step(state, jnp.zeros(env.action_size))
+    assert bool(jnp.all(jnp.isfinite(state.obs)))
+    # near-upright start: alive bonus dominates
+    assert float(state.reward) > 5.0
