@@ -25,6 +25,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="brax_tpu on-device RL training")
     p.add_argument("--learner", default="ppo", choices=["ppo", "apg", "es", "sac", "ars"])
     p.add_argument("--env", default="ant")
+    p.add_argument("--engine", default="v1", choices=["v1", "v2"],
+                   help="v1: maximal-coordinate PBD engine (17 envs); "
+                        "v2: generalized-coordinate engine (brax_tpu.v2.envs)")
+    p.add_argument("--backend", default="generalized",
+                   choices=["generalized", "spring", "positional"],
+                   help="v2 physics backend (--engine v2 only)")
     p.add_argument("--total_env_steps", type=int, default=50_000_000)
     p.add_argument("--num_evals", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
@@ -91,7 +97,12 @@ def main(argv=None):
                 "total_env_steps": args.total_env_steps,
             }
         )
-        environment = envs._envs[args.env]()
+        if args.engine == "v2":
+            from brax_tpu.v2 import envs as v2_envs
+
+            environment = v2_envs.get_environment(args.env, backend=args.backend)
+        else:
+            environment = envs._envs[args.env]()
         if args.learner == "sac":
             make_policy, params, _ = sac.train(
                 environment=environment,
@@ -188,6 +199,41 @@ def main(argv=None):
     # post-training rollouts for videos / trajectory dumps
     n_rollouts = max(args.num_videos, args.num_trajectories_npy)
     if n_rollouts == 0:
+        return
+
+    if args.engine == "v2":
+        from brax_tpu.v2 import envs as v2_envs
+        from brax_tpu.v2 import io as v2_io
+
+        env = v2_envs.create(
+            args.env,
+            backend=args.backend,
+            episode_length=args.episode_length,
+            auto_reset=False,
+        )
+        inference = make_policy(params)
+
+        @jax.jit
+        def v2_next(state, key):
+            new_key, tmp_key = jax.random.split(key)
+            act = inference(state.obs, tmp_key)[0]
+            return env.step(state, act), new_key
+
+        rng = jax.random.PRNGKey(args.seed)
+        for i in range(n_rollouts):
+            rng, env_key = jax.random.split(rng)
+            state = jax.jit(env.reset)(env_key)
+            pipeline_states = []
+            steps = 0
+            while not state.done and steps < args.episode_length:
+                pipeline_states.append(state.pipeline_state)
+                state, rng = v2_next(state, rng)
+                steps += 1
+            if i < args.num_videos:
+                html_path = f"{args.logdir}/saved_videos/trajectory_{i:04d}.html"
+                os.makedirs(os.path.dirname(html_path), exist_ok=True)
+                v2_io.save_html(html_path, env.unwrapped.sys, pipeline_states)
+                print(f"saved {html_path}")
         return
 
     env = envs.create(args.env, auto_reset=False)
