@@ -24,28 +24,46 @@ import jax.numpy as jnp
 
 
 def _measure_vpu_peak_flops():
-    """Elementwise-FMA peak (flops/s): a long FMA chain on a VMEM-sized
-    array — compute-bound by construction, so its throughput is the
-    realistic VPU roof for physics (non-MXU) work."""
-    n = 1 << 21  # 8 MB of float32: fits VMEM, amortizes HBM in/out
-    k = 512  # FMAs per element per call
+    """Elementwise-FMA peak (flops/s): independent FMA chains on
+    VMEM-resident arrays — compute-bound by construction, so the best
+    measurement across shapes is the realistic VPU roof for physics
+    (non-MXU) work.
 
-    @jax.jit
-    def chain(x):
-        def body(_, y):
-            return y * 1.000000119 + 1e-7  # not constant-foldable
+    Sweeps (array size, chain length, independent accumulators) and takes
+    the max: a single 8 MB carry turned out to stream HBM every loop
+    iteration and a single chain is FMA-latency-bound, both of which
+    understated the roof ~5x (r2 bench logged an impossible 497%-of-peak).
+    """
+    best = 0.0
+    for n, k, nacc in (
+        (1 << 15, 4096, 8),
+        (1 << 17, 2048, 8),
+        (1 << 19, 1024, 4),
+        (1 << 21, 512, 2),
+    ):
 
-        return jax.lax.fori_loop(0, k, body, x)
+        @jax.jit
+        def chain(x, k=k, nacc=nacc):
+            # independent accumulators: fill the FMA pipeline even when
+            # the array is small enough to stay in vregs/VMEM
+            ys = tuple(x * (1.0 + 1e-6 * i) for i in range(nacc))
 
-    x = jnp.ones((n,), jnp.float32)
-    x = jax.block_until_ready(chain(x))
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = chain(x)
-    jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
-    return 2.0 * k * n * iters / dt  # FMA = 2 flops
+            def body(_, ys):
+                return tuple(y * 1.000000119 + 1e-7 for y in ys)
+
+            ys = jax.lax.fori_loop(0, k, body, ys)
+            return functools.reduce(jnp.add, ys)
+
+        x = jnp.ones((n,), jnp.float32)
+        jax.block_until_ready(chain(x))
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = chain(x)
+        jax.block_until_ready(r)
+        dt = time.perf_counter() - t0
+        best = max(best, 2.0 * k * n * nacc * iters / dt)
+    return best
 
 
 def _measure_hbm_bw():

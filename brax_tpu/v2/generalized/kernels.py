@@ -736,13 +736,22 @@ def _mass_matrix(p: _Plan, cinr, cdof):
 
 
 def _inv_ns(mx, minv0, iters=NS_ITERS, tol=1e-12):
-    """maths.inv_approximate on (nd,nd,S,L): warm-started Newton-Schulz."""
-    nd = mx.shape[0]
-    eye = _eye(nd)[:, :, None, None]
-    mt = jnp.swapaxes(mx, 0, 1)
+    """maths.inv_approximate on (nd,nd,S,L): warm-started Newton-Schulz.
 
-    r0 = eye - _mm(mx, minv0)
-    r0n = jnp.sqrt(jnp.sum(r0 * r0, axis=(0, 1)))
+    Mosaic-safe: no (nd,nd)->(nd,nd,1,1) identity reshape (unsupported
+    shape cast — tiled dims would move) and no leading-dim transpose.
+    The CRB matrix is symmetric by construction (_mass_matrix mirrors the
+    upper triangle), so M^T == M; ||I - P||_F^2 expands to
+    sum(P*P) - 2 tr(P) + nd without materializing I.
+    """
+    nd = mx.shape[0]
+    mt = mx  # symmetric by construction
+
+    p0 = _mm(mx, minv0)
+    tr_p0 = functools.reduce(jnp.add, [p0[i, i] for i in range(nd)])
+    r0n = jnp.sqrt(
+        jnp.maximum(jnp.sum(p0 * p0, axis=(0, 1)) - 2.0 * tr_p0 + float(nd), 0.0)
+    )
     tr = jnp.sum(mx * mx, axis=(0, 1))  # trace(a @ a.T)
     fallback = 0.5 * mt / tr[None, None]
     cur = jnp.where(r0n[None, None] > 1.0, fallback, minv0)
@@ -967,12 +976,22 @@ def _build_tile_frames(sys: System, n_frames: int):
             jqd = _mv(jac, qd)
             imp, aref = _imp_aref(cpos_rows, jqd)
             jm = _mm(jac, minv)  # (nr, nd)
-            amat = jnp.stack(
-                [jnp.sum(jm[i][None] * jac, axis=1) for i in range(jac.shape[0])]
-            )
             nr = jac.shape[0]
             diag_add = cdiag * (1 - imp) / imp
-            amat = amat + _eye(nr)[:, :, None, None] * diag_add[None]
+            # fold the regularizer into the diagonal while building rows —
+            # no (nr,nr)->(nr,nr,1,1) identity reshape (Mosaic can't shape-
+            # cast tiled dims into leading positions)
+            rows = []
+            for i in range(nr):
+                r = jnp.sum(jm[i][None] * jac, axis=1)  # (nr, S, L)
+                bumped = (r[i] + diag_add[i])[None]
+                parts = ([r[:i]] if i else []) + [bumped]
+                if i + 1 < nr:
+                    parts.append(r[i + 1 :])
+                rows.append(
+                    parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+                )
+            amat = jnp.stack(rows)
             bvec = _mv(jm, qf_smooth) - aref
             xsol = _fista(amat, bvec, maxiter=p.solver_iters)
             qf_c = _mtv(jac, xsol)
