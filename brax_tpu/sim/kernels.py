@@ -1276,6 +1276,12 @@ def build_step_fn(sys: System, num_envs: int, tile: int = 512):
                 jax.ShapeDtypeStruct((nb, c, n_rows, LANE), jnp.float32)
                 for c in (3, 4, 3, 3, 3, 3)
             ],
+            # many-body composer scenes exceed Mosaic's default 16 MB scoped
+            # VMEM (e.g. 4x-ant @16384 envs allocates 23 MB on the kernel
+            # stack); the chip has 128 MB, so raise the cap
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
         )
 
     from brax_tpu.sim.types import DP

@@ -157,12 +157,22 @@ def _mm(a, b):
     return jnp.stack([jnp.sum(a[i][:, None] * b, axis=0) for i in range(a.shape[0])])
 
 
+# (sublane, lane) shape of the env tile; assigned at kernel trace time by
+# build_pipeline_step_fn's kernel body (tracing is sequential, so the value
+# is always the one for the kernel currently being traced).
+_TILE = (1, 1)
+
+
 def _cvec(v) -> Array:
-    """Static vector -> (n,1,1) broadcastable constant, built from scalar
+    """Static vector -> (n, S, L) full-tile constant, built from scalar
     literals: Pallas kernels reject captured array constants (jaxpr consts),
-    but scalar literals embed in the ops themselves."""
+    but scalar splats embed in the ops themselves.  Materializing the full
+    tile keeps every constant in replicated layout — Mosaic cannot relayout
+    a rank>2 (n,1,1) vector into a broadcast (n,S,L) operand
+    (vector.broadcast vpad{0,0} -> vpad{*,*} fails to compile)."""
     v = onp.asarray(v, onp.float32).reshape(-1)
-    return jnp.stack([jnp.full((1, 1), float(x), jnp.float32) for x in v])
+    s, l = _TILE
+    return jnp.stack([jnp.full((s, l), float(x), jnp.float32) for x in v])
 
 
 def _c3(v) -> Array:
@@ -1075,6 +1085,8 @@ def build_pipeline_step_fn(
         out_schema += [("c_pos", (p.nc, 3)), ("c_pen", (p.nc,))]
 
     def kernel(q_ref, qd_ref, minv_ref, act_ref, *out_refs):
+        global _TILE
+        _TILE = (sub, LANE)  # trace-time: sizes _cvec splats to the env tile
         out = tile_frames(q_ref[:], qd_ref[:], minv_ref[:], act_ref[:])
         for ref, (key, _) in zip(out_refs, out_schema):
             ref[:] = out[key]
@@ -1098,6 +1110,9 @@ def build_pipeline_step_fn(
             for _, lead in out_schema
         ],
         interpret=interpret,
+        # humanoid-scale systems (nd=23, ~80 constraint rows) can exceed
+        # Mosaic's default 16 MB scoped VMEM; the chip has 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
     # static contact metadata for rebuilding State.contact
