@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as onp
 
 from brax_tpu.sim import colliders as colliders_mod
+from brax_tpu.sim.lowering import VMEM_LIMIT_BYTES
 from brax_tpu.sim.system import System
 from brax_tpu.sim.types import QP, Info
 
@@ -1278,9 +1279,9 @@ def build_step_fn(sys: System, num_envs: int, tile: int = 512):
             ],
             # many-body composer scenes exceed Mosaic's default 16 MB scoped
             # VMEM (e.g. 4x-ant @16384 envs allocates 23 MB on the kernel
-            # stack); the chip has 128 MB, so raise the cap
+            # stack); see lowering.VMEM_LIMIT_BYTES for the chip assumption
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=VMEM_LIMIT_BYTES
             ),
         )
 

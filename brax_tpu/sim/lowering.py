@@ -16,6 +16,12 @@ import contextlib
 import jax.numpy as jnp
 import numpy as onp
 
+# Mosaic scoped-VMEM cap shared by every fused kernel (sim/kernels.py and
+# v2/generalized/kernels.py): many-body scenes exceed Mosaic's default 16 MB.
+# Assumes a v4/v5-class chip with 128 MB of physical VMEM; earlier
+# generations (v2/v3: 16/32 MB) would need this lowered.
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 _KERNEL_MODE = False
 
 

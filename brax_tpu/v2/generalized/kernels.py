@@ -52,6 +52,7 @@ import jax
 import jax.numpy as jnp
 import numpy as onp
 
+from brax_tpu.sim.lowering import VMEM_LIMIT_BYTES
 from brax_tpu.v2 import masks
 from brax_tpu.v2.base import Capsule, Plane, Sphere, System, Transform
 from brax_tpu.v2.generalized.base import State
@@ -157,40 +158,6 @@ def _mm(a, b):
     return jnp.stack([jnp.sum(a[i][:, None] * b, axis=0) for i in range(a.shape[0])])
 
 
-# (sublane, lane) shape of the env tile; assigned at kernel trace time by
-# build_pipeline_step_fn's kernel body (tracing is sequential, so the value
-# is always the one for the kernel currently being traced).
-_TILE = (1, 1)
-
-
-def _cvec(v) -> Array:
-    """Static vector -> (n, S, L) full-tile constant, built from scalar
-    literals: Pallas kernels reject captured array constants (jaxpr consts),
-    but scalar splats embed in the ops themselves.  Materializing the full
-    tile keeps every constant in replicated layout — Mosaic cannot relayout
-    a rank>2 (n,1,1) vector into a broadcast (n,S,L) operand
-    (vector.broadcast vpad{0,0} -> vpad{*,*} fails to compile)."""
-    v = onp.asarray(v, onp.float32).reshape(-1)
-    s, l = _TILE
-    return jnp.stack([jnp.full((s, l), float(x), jnp.float32) for x in v])
-
-
-def _c3(v) -> Array:
-    """Static 3-vector -> (3,1,1) broadcastable constant."""
-    return _cvec(v)
-
-
-def _c4(v) -> Array:
-    return _cvec(v)
-
-
-def _eye(n: int) -> Array:
-    """(n,n) identity from iota (no captured array constant)."""
-    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return (r == c).astype(jnp.float32)
-
-
 def _np_rotate(v: onp.ndarray, q: onp.ndarray) -> onp.ndarray:
     """Static quaternion rotation in float64 numpy (build-time)."""
     v = onp.asarray(v, onp.float64)
@@ -222,9 +189,19 @@ def _np_qmul(u: onp.ndarray, v: onp.ndarray) -> onp.ndarray:
 
 
 class _Plan:
-    """All static structure/parameters for one System, as numpy."""
+    """All static structure/parameters for one System, as numpy.
 
-    def __init__(self, sys: System):
+    `tile` is the (sublane, lane) shape of the env tile this plan's kernel
+    is traced for; `cvec`/`c3`/`c4` splat static constants to it.
+    """
+
+    def __init__(self, sys: System, tile: Tuple[int, int] = (1, 1)):
+        # snapshot every leaf to numpy up front: the plan is also built
+        # INSIDE jit traces (custom-vmap dispatch), where any jnp op on the
+        # closed-over System's concrete leaves — even a slice — would stage
+        # a tracer and break the int()/float() literal extraction below
+        sys = jax.tree_util.tree_map(onp.asarray, sys)
+        self.tile = tile
         self.nl = sys.num_links()
         self.nq = sys.q_size()
         self.nd = sys.qd_size()
@@ -247,7 +224,14 @@ class _Plan:
             qo += qw
             do += dw
 
-        self.dof_link = [int(i) for i in onp.asarray(sys.dof_link())]
+        # pure-Python dof->link map (sys.dof_link() builds a jnp array,
+        # which would be a tracer when the plan is built inside a jit trace
+        # — the custom-vmap dispatch path does exactly that)
+        self.dof_link = [
+            i
+            for i, t in enumerate(sys.link_types)
+            for _ in range(widths[t][1])
+        ]
         # transform_com parent anchor: free links anchor to themselves
         self.com_parent = [
             i if t == "f" else p
@@ -367,6 +351,22 @@ class _Plan:
         ]
         self.nr = 4 * self.nc + (len(self.lim_dofs) if self.limit is not None else 0)
 
+    def cvec(self, v) -> Array:
+        """Static vector -> (n, S, L) full-tile constant, built from scalar
+        literals: Pallas kernels reject captured array constants (jaxpr
+        consts), but scalar splats embed in the ops themselves.
+        Materializing the full tile keeps every constant in replicated
+        layout — Mosaic cannot relayout a rank>2 (n,1,1) vector into a
+        broadcast (n,S,L) operand (vector.broadcast vpad{0,0} -> vpad{*,*}
+        fails to compile)."""
+        v = onp.asarray(v, onp.float32).reshape(-1)
+        s, l = self.tile
+        return jnp.stack([jnp.full((s, l), float(x), jnp.float32) for x in v])
+
+    # static 3-vector / quaternion constants: same full-tile splat
+    c3 = cvec
+    c4 = cvec
+
 
 def supported(sys: System) -> bool:
     """True when this System lowers to the fused kernel.
@@ -422,9 +422,9 @@ def _fk(p: _Plan, q):
             do = p.qd_off[l]
             for i in range(p.qd_width[l]):
                 qi = q[qo + i]
-                axis = _c3(p.motion_ang[do + i])
+                axis = p.c3(p.motion_ang[do + i])
                 rot_i, _ = _normalize_with_norm(_quat_rot_axis(axis, qi))
-                pos_i = _c3(p.motion_vel[do + i]) * qi[None]
+                pos_i = p.c3(p.motion_vel[do + i]) * qi[None]
                 if jp is None:
                     jp, jr = pos_i, rot_i
                 else:
@@ -432,10 +432,10 @@ def _fk(p: _Plan, q):
                     jr = _qmul(jr, rot_i)
             j_pos[l], j_rot[l] = jp, jr
         # anchor offset then parent-frame placement (kinematics.py:69-71)
-        anchor = _rotate(_c3(p.j_pos[l]) * jnp.ones_like(j_rot[l][:1]), j_rot[l])
-        j_pos[l] = j_pos[l] + _c3(p.j_pos[l]) - anchor
-        j_pos[l] = _c3(p.t_pos[l]) + _rotate(j_pos[l], _c4(p.t_rot[l]) + 0 * j_rot[l])
-        j_rot[l] = _qmul(_c4(p.t_rot[l]) + 0 * j_rot[l], j_rot[l])
+        anchor = _rotate(p.c3(p.j_pos[l]), j_rot[l])
+        j_pos[l] = j_pos[l] + p.c3(p.j_pos[l]) - anchor
+        j_pos[l] = p.c3(p.t_pos[l]) + _rotate(j_pos[l], p.c4(p.t_rot[l]))
+        j_rot[l] = _qmul(p.c4(p.t_rot[l]), j_rot[l])
 
     x_pos: List[Any] = [None] * p.nl
     x_rot: List[Any] = [None] * p.nl
@@ -463,16 +463,16 @@ def _fk_vel(p: _Plan, q, qd, x_pos, x_rot):
         else:
             # accumulate per-dof motions through each dof's own transform
             # (kinematics.py _joint_transform_motion's jd loop)
-            ja = _c3(p.motion_ang[do]) * qd[do][None]
-            jv = _c3(p.motion_vel[do]) * qd[do][None]
+            ja = p.c3(p.motion_ang[do]) * qd[do][None]
+            jv = p.c3(p.motion_vel[do]) * qd[do][None]
             for i in range(1, p.qd_width[l]):
                 d = do + i
                 qi = q[qo + i]
-                axis = _c3(p.motion_ang[d])
+                axis = p.c3(p.motion_ang[d])
                 rot_i, _ = _normalize_with_norm(_quat_rot_axis(axis, qi))
-                pos_i = _c3(p.motion_vel[d]) * qi[None]
-                jdi_ang = _c3(p.motion_ang[d]) * qd[d][None]
-                jdi_vel = _c3(p.motion_vel[d]) * qd[d][None]
+                pos_i = p.c3(p.motion_vel[d]) * qi[None]
+                jdi_ang = p.c3(p.motion_ang[d]) * qd[d][None]
+                jdi_vel = p.c3(p.motion_vel[d]) * qd[d][None]
                 ja = ja + _rotate(jdi_ang, rot_i)
                 jv = jv + _rotate(jdi_vel + _cross(pos_i, jdi_ang), rot_i)
             jd_ang[l], jd_vel[l] = ja, jv
@@ -499,9 +499,9 @@ def _contacts(p: _Plan, x_pos, x_rot):
     cpos, cpen = [], []
     for c in range(p.nc):
         l = p.c_link[c]
-        n = _c3(p.c_normal[c])
-        spos = x_pos[l] + _rotate(_c3(p.c_lpos[c]) * jnp.ones_like(x_pos[l][:1]), x_rot[l])
-        t = _vdot(spos - _c3(p.c_ppos[c]), n * jnp.ones_like(spos))
+        n = p.c3(p.c_normal[c])
+        spos = x_pos[l] + _rotate(p.c3(p.c_lpos[c]), x_rot[l])
+        t = _vdot(spos - p.c3(p.c_ppos[c]), n)
         pen = p.c_radius[c] - t
         pos = spos - n * (p.c_radius[c] - 0.5 * pen)[None]
         cpos.append(pos)
@@ -519,9 +519,9 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
     xi_pos, xi_rot = [], []
     for l in range(p.nl):
         xi_pos.append(
-            x_pos[l] + _rotate(_c3(p.it_pos[l]) * jnp.ones_like(x_pos[l][:1]), x_rot[l])
+            x_pos[l] + _rotate(p.c3(p.it_pos[l]), x_rot[l])
         )
-        xi_rot.append(_qmul(x_rot[l], _c4(p.it_rot[l]) + 0 * x_rot[l]))
+        xi_rot.append(_qmul(x_rot[l], p.c4(p.it_rot[l])))
     tot = float(p.mass.sum())
     com = sum(float(p.mass[l]) * xi_pos[l] for l in range(p.nl)) / tot
 
@@ -548,7 +548,7 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
         )
         # h h^T m, h[k,:] = cross(pos, -e_k)
         e = onp.eye(3, dtype=onp.float32)
-        h = jnp.stack([_cross(pos, _c3(-e[k]) * jnp.ones_like(pos)) for k in range(3)])
+        h = jnp.stack([_cross(pos, p.c3(-e[k])) for k in range(3)])
         hht = jnp.stack(
             [
                 jnp.stack([_vdot(h[a], h[b]) for b in range(3)])
@@ -562,19 +562,18 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
     # root links without a free joint anchor to the world identity frame
     # (the jnp path's Transform.zero pad at take(-1))
     jf_pos, jf_rot = [], []
-    ones = jnp.ones_like(com[:1])
     for l in range(p.nl):
         par = p.com_parent[l]
         if par == -1:
             a_np = p.t_pos[l] + _np_rotate(p.j_pos[l], p.t_rot[l])
             r_np = _np_qmul(p.t_rot[l], p.j_rot[l])
-            jf_pos.append(_c3(a_np) * ones)
-            jf_rot.append(_c4(r_np) * ones)
+            jf_pos.append(p.c3(a_np))
+            jf_rot.append(p.c4(r_np))
             continue
-        a_pos = x_pos[par] + _rotate(_c3(p.t_pos[l]) * jnp.ones_like(x_pos[par][:1]), x_rot[par])
-        a_rot = _qmul(x_rot[par], _c4(p.t_rot[l]) + 0 * x_rot[par])
-        jf_pos.append(a_pos + _rotate(_c3(p.j_pos[l]) * jnp.ones_like(a_pos[:1]), a_rot))
-        jf_rot.append(_qmul(a_rot, _c4(p.j_rot[l]) + 0 * a_rot))
+        a_pos = x_pos[par] + _rotate(p.c3(p.t_pos[l]), x_rot[par])
+        a_rot = _qmul(x_rot[par], p.c4(p.t_rot[l]))
+        jf_pos.append(a_pos + _rotate(p.c3(p.j_pos[l]), a_rot))
+        jf_rot.append(_qmul(a_rot, p.c4(p.j_rot[l])))
 
     # cdof rows (dynamics.py:43-73): each dof's motion seen through the
     # preceding dofs' joint transforms (the jnp cdof_fn acc chain), then
@@ -586,15 +585,15 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
         if t == "f":
             for i in range(6):
                 d = do + i
-                ang = _rotate(_c3(p.motion_ang[d]) * ones, jf_rot[l])
-                vel = _c3(p.motion_vel[d]) * ones - _cross(com - jf_pos[l], ang)
+                ang = _rotate(p.c3(p.motion_ang[d]), jf_rot[l])
+                vel = p.c3(p.motion_vel[d]) - _cross(com - jf_pos[l], ang)
                 cdof_ang[d], cdof_vel[d] = ang, vel
             continue
         acc_pos = acc_rot = None  # identity accumulated transform
         for i in range(p.qd_width[l]):
             d = do + i
-            m_ang = _c3(p.motion_ang[d]) * ones
-            m_vel = _c3(p.motion_vel[d]) * ones
+            m_ang = p.c3(p.motion_ang[d])
+            m_vel = p.c3(p.motion_vel[d])
             if acc_rot is None:
                 ang_loc, vel_loc = m_ang, m_vel
             else:
@@ -606,9 +605,9 @@ def _transform_com(p: _Plan, q, qd, x_pos, x_rot):
             if i + 1 < p.qd_width[l]:
                 qi = q[qo + i]
                 rot_i, _ = _normalize_with_norm(
-                    _quat_rot_axis(_c3(p.motion_ang[d]), qi)
+                    _quat_rot_axis(p.c3(p.motion_ang[d]), qi)
                 )
-                pos_i = _c3(p.motion_vel[d]) * qi[None]
+                pos_i = p.c3(p.motion_vel[d]) * qi[None]
                 if acc_rot is None:
                     acc_pos, acc_rot = pos_i, rot_i
                 else:
@@ -680,14 +679,12 @@ def _bias(p: _Plan, qd, cinr, cd, cdof, cdofd):
     cdof_ang, cdof_vel = cdof
     cdofd_ang, cdofd_vel = cdofd
 
-    grav = _c3(p.gravity)
+    grav = p.c3(p.gravity)
     cfrc_ang, cfrc_vel = [], []
     for l in range(p.nl):
         dd = [d for d in range(p.nd) if p.dof_anc[l, d] > 0]
         cdd_ang = sum(cdofd_ang[d] * qd[d][None] for d in dd)
-        cdd_vel = sum(cdofd_vel[d] * qd[d][None] for d in dd) - (
-            grav * jnp.ones_like(cd_vel[l])
-        )
+        cdd_vel = sum(cdofd_vel[d] * qd[d][None] for d in dd) - grav
         fa, fv = _inertia_mul(cinr_i[l], cinr_h[l], float(p.mass[l]), cdd_ang, cdd_vel)
         ia, iv = _inertia_mul(
             cinr_i[l], cinr_h[l], float(p.mass[l]), cd_ang[l], cd_vel[l]
@@ -824,7 +821,7 @@ def _jacobian(p: _Plan, q, com, cdof, cpos, cpen):
             row = []
             for d in range(p.nd):
                 if d in a_vel:
-                    row.append(_vdot(_c3(dvec) * jnp.ones_like(a_vel[d]), a_vel[d]) * active)
+                    row.append(_vdot(p.c3(dvec), a_vel[d]) * active)
                 else:
                     row.append(zero)
             jac_rows.append(jnp.stack(row))
@@ -948,13 +945,14 @@ def _integrate(p: _Plan, q, qd, qdd):
 _ROLL_MIN = 3
 
 
-def _build_tile_frames(sys: System, n_frames: int):
+def _build_tile_frames(sys: System, n_frames: int, tile: Tuple[int, int]):
     """Returns tile_frames(q, qd, minv, act) -> outputs, all (..., S, L).
 
+    `tile` is the (sublane, lane) env-tile shape static constants splat to.
     Outputs: (q, qd, minv, x_pos (nl,3), x_rot (nl,4), xd_ang (nl,3),
     xd_vel (nl,3), c_pos (nc,3), c_pen (nc,)) with trailing env dims.
     """
-    p = _Plan(sys)
+    p = _Plan(sys, tile)
 
     def step(carry, act):
         q, qd, minv_prev = carry
@@ -1010,7 +1008,7 @@ def _build_tile_frames(sys: System, n_frames: int):
 
         # dof damping folded into M^-1 via the first-order inverse expansion
         # (pipeline.py:37-41): minv - minv @ diag(damping*dt) @ minv
-        dcol = _cvec(p.damping.astype(onp.float32) * onp.float32(p.dt))[None]
+        dcol = p.cvec(p.damping.astype(onp.float32) * onp.float32(p.dt))[None]
         minv_d = minv - _mm(minv * dcol, minv)
         qdd = _mv(minv_d, qf_smooth + qf_c)
         q, qd = _integrate(p, q, qd, qdd)
@@ -1072,11 +1070,11 @@ def build_pipeline_step_fn(
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    tile_frames, p = _build_tile_frames(sys, n_frames)
     assert num_envs % LANE == 0, num_envs
     n_rows = num_envs // LANE
     sub = 8 if n_rows % 8 == 0 else n_rows
     grid = (n_rows // sub,)
+    tile_frames, p = _build_tile_frames(sys, n_frames, (sub, LANE))
 
     out_schema = [("q", (p.nq,)), ("qd", (p.nd,)), ("minv", (p.nd, p.nd)),
                   ("x_pos", (p.nl, 3)), ("x_rot", (p.nl, 4)),
@@ -1085,8 +1083,6 @@ def build_pipeline_step_fn(
         out_schema += [("c_pos", (p.nc, 3)), ("c_pen", (p.nc,))]
 
     def kernel(q_ref, qd_ref, minv_ref, act_ref, *out_refs):
-        global _TILE
-        _TILE = (sub, LANE)  # trace-time: sizes _cvec splats to the env tile
         out = tile_frames(q_ref[:], qd_ref[:], minv_ref[:], act_ref[:])
         for ref, (key, _) in zip(out_refs, out_schema):
             ref[:] = out[key]
@@ -1111,8 +1107,8 @@ def build_pipeline_step_fn(
         ],
         interpret=interpret,
         # humanoid-scale systems (nd=23, ~80 constraint rows) can exceed
-        # Mosaic's default 16 MB scoped VMEM; the chip has 128 MB
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # Mosaic's default 16 MB scoped VMEM; see lowering.VMEM_LIMIT_BYTES
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )
 
     # static contact metadata for rebuilding State.contact
