@@ -23,66 +23,74 @@ import jax
 import jax.numpy as jnp
 
 
-def _measure_vpu_peak_flops():
-    """Elementwise-FMA peak (flops/s): independent FMA chains on
-    VMEM-resident arrays — compute-bound by construction, so the best
-    measurement across shapes is the realistic VPU roof for physics
-    (non-MXU) work.
+def _slope_time(f, x, reps=3):
+    """Marginal walltime of one f(x) call, by the two-point slope method:
+    time a dependent chain of 2 calls and of 6 calls (synced by a scalar
+    host fetch, which cannot complete before the chain has executed — the
+    remote-TPU tunnel's block_until_ready is not a reliable fence for
+    small buffers) and divide the difference by 4.  Per-dispatch overhead
+    and the sync cost cancel exactly."""
 
-    Sweeps (array size, chain length, independent accumulators) and takes
-    the max: a single 8 MB carry turned out to stream HBM every loop
-    iteration and a single chain is FMA-latency-bound, both of which
-    understated the roof ~5x (r2 bench logged an impossible 497%-of-peak).
-    """
-    best = 0.0
-    for n, k, nacc in (
-        (1 << 15, 4096, 8),
-        (1 << 17, 2048, 8),
-        (1 << 19, 1024, 4),
-        (1 << 21, 512, 2),
-    ):
-
-        @jax.jit
-        def chain(x, k=k, nacc=nacc):
-            # independent accumulators: fill the FMA pipeline even when
-            # the array is small enough to stay in vregs/VMEM
-            ys = tuple(x * (1.0 + 1e-6 * i) for i in range(nacc))
-
-            def body(_, ys):
-                return tuple(y * 1.000000119 + 1e-7 for y in ys)
-
-            ys = jax.lax.fori_loop(0, k, body, ys)
-            return functools.reduce(jnp.add, ys)
-
-        x = jnp.ones((n,), jnp.float32)
-        jax.block_until_ready(chain(x))
-        iters = 10
+    def run(iters):
+        y = x
         t0 = time.perf_counter()
         for _ in range(iters):
-            r = chain(x)
-        jax.block_until_ready(r)
-        dt = time.perf_counter() - t0
-        best = max(best, 2.0 * k * n * nacc * iters / dt)
-    return best
+            y = f(y)
+        float(jnp.sum(y))
+        return time.perf_counter() - t0
+
+    run(1)  # warm every compile (f, sum) before timing
+    t2 = min(run(2) for _ in range(reps))
+    t6 = min(run(6) for _ in range(reps))
+    return (t6 - t2) / 4.0 if t6 > t2 else float("nan")
+
+
+def _measure_vpu_peak_flops():
+    """Elementwise-FMA peak (flops/s): independent map iterations
+    y <- y*y + 0.25 (one FMA; stable from below the 0.5 fixed point, and
+    nonlinear so neither the algebraic simplifier nor CSE can collapse the
+    chain) unrolled `inner` times inside a fori_loop body, on `nacc`
+    independent arrays.
+
+    Fixes over the r2 bench (which logged an impossible 489%-of-peak):
+    slope timing over a dependent call chain with a host-fetch sync (see
+    _slope_time), and a large unrolled body so the loop carry's HBM
+    round-trip per iteration is amortized ~256x instead of dominating.
+    """
+    n, nacc, inner, k = 1 << 16, 8, 256, 768
+
+    @jax.jit
+    def f(x):
+        # distinct starts per chain: identical graphs would be CSE'd
+        ys = tuple(x - 0.01 * i for i in range(nacc))
+
+        def body(_, ys):
+            for _ in range(inner):
+                ys = tuple(y * y + 0.25 for y in ys)
+            return ys
+
+        ys = jax.lax.fori_loop(0, k, body, ys)
+        # fold back to x's shape near 0.4, so calls chain indefinitely
+        return functools.reduce(jnp.add, ys) / nacc - 0.1
+
+    x = jnp.full((n,), 0.4, jnp.float32)
+    dt = _slope_time(f, x)
+    return 2.0 * k * inner * n * nacc / dt
 
 
 def _measure_hbm_bw():
-    """Streaming HBM bandwidth (bytes/s): big-array add, read+write."""
-    n = 1 << 26  # 256 MB float32
-    x = jnp.ones((n,), jnp.float32)
+    """Streaming HBM bandwidth (bytes/s): big-array FMA loop, read+write,
+    timed by the same dependent-chain slope as the VPU peak."""
+    n = 1 << 26  # 256 MB float32: far beyond VMEM, streams HBM every pass
+    k = 16
 
     @jax.jit
-    def bump(x):
-        return x + 1.0
+    def f(x):
+        return jax.lax.fori_loop(0, k, lambda _, y: y * 1.0000001 + 1e-7, x)
 
-    x = jax.block_until_ready(bump(x))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = bump(x)
-    jax.block_until_ready(x)
-    dt = time.perf_counter() - t0
-    return 2.0 * 4 * n * iters / dt
+    x = jnp.ones((n,), jnp.float32)
+    dt = _slope_time(f, x)
+    return 2.0 * 4 * n * k / dt
 
 
 def _algorithmic_flops_per_env_step(env, state, num_envs):
