@@ -11,8 +11,17 @@ BASELINE names as the many-body contact-heavy scaling testbed.
 """
 
 import json
+import os
 import sys
 import time
+
+# many-body scenes at 16k envs stream ~23 MB of kernel I/O blocks through
+# scoped VMEM; XLA's default cap is 16 MB (the r2 capture OOM'd at compile,
+# HW_r02/composer_16384.log) while the chip has 128 MB — raise it before
+# jax initializes
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_tpu_scoped_vmem_limit_kib=65536"
+)
 
 import jax
 import jax.numpy as jnp
