@@ -47,7 +47,7 @@ class Fetch(base.Env):
 
         torso_delta = qp.pos[self.torso_idx] - state.qp.pos[self.torso_idx]
         target_rel = qp.pos[self.target_idx] - qp.pos[self.torso_idx]
-        target_dist = jnp.linalg.norm(target_rel)
+        target_dist = maths.safe_norm(target_rel)
         target_dir = target_rel / (1e-6 + target_dist)
         moving_to_target = 0.1 * jnp.dot(torso_delta, target_dir)
 
@@ -86,7 +86,7 @@ class Fetch(base.Env):
         pos_local = maths.inv_rotate(pos_local, qp.rot[self.torso_idx])
         vel_local = maths.inv_rotate(qp.vel, qp.rot[self.torso_idx])
         target_local = pos_local[self.target_idx]
-        target_local_mag = jnp.reshape(jnp.linalg.norm(target_local), -1)
+        target_local_mag = jnp.reshape(maths.safe_norm(target_local), -1)
         target_local_dir = target_local / (1e-6 + target_local_mag)
         pos_local = jnp.reshape(pos_local, -1)
         vel_local = jnp.reshape(vel_local, -1)

@@ -57,8 +57,10 @@ class Grasp(base.Env):
         # move the hand palm toward the action-specified position
         target_pos = action[-3:]
         palm_pos = state.qp.pos[self.palm_idx]
-        norm = jnp.linalg.norm(target_pos - palm_pos)
-        scale = jnp.where(norm > 2.0, 2.0 / norm, 1.0)
+        norm = maths.safe_norm(target_pos - palm_pos)
+        # max() guards the untaken branch: where()'s VJP evaluates 2/norm
+        # even when norm <= 2, and norm is exactly 0 at symmetric states
+        scale = jnp.where(norm > 2.0, 2.0 / jnp.maximum(norm, 1e-6), 1.0)
         palm_pos = palm_pos + scale * (target_pos - palm_pos) * 0.15
         pos = state.qp.pos.at[self.palm_idx].set(palm_pos)
         qp = state.qp.replace(pos=pos)
@@ -70,8 +72,10 @@ class Grasp(base.Env):
         hand_pos = qp.pos[self.palm_idx]
         hand_vel = qp.vel[self.hand_idx]
         object_rel = object_pos - hand_pos
-        object_dist = jnp.linalg.norm(object_rel)
-        planar_object_dist = jnp.linalg.norm(object_rel * jnp.array([1.0, 1.0, 0.0]))
+        object_dist = maths.safe_norm(object_rel)
+        # safe_norm: the object starts exactly under the palm, and norm's
+        # gradient at an exact-zero vector is NaN (APG config 4 blocker)
+        planar_object_dist = maths.safe_norm(object_rel * jnp.array([1.0, 1.0, 0.0]))
         object_dir = object_rel / (1e-6 + object_dist.reshape(-1))
         moving_to_object = 0.1 * self.art.config.dt * jnp.dot(hand_vel, object_dir)
         close_to_object = 0.1 * self.art.config.dt * 1.0 / (1.0 + planar_object_dist)
@@ -79,7 +83,7 @@ class Grasp(base.Env):
         target_pos = qp.pos[self.target_idx]
         object_vel = qp.vel[self.object_idx]
         target_rel = target_pos - object_pos
-        target_dist = jnp.linalg.norm(target_rel)
+        target_dist = maths.safe_norm(target_rel)
         target_dir = target_rel / (1e-6 + target_dist)
         moving_to_target = 1.5 * self.art.config.dt * jnp.dot(object_vel, target_dir)
 
@@ -123,21 +127,21 @@ class Grasp(base.Env):
         vel_local = maths.inv_rotate(qp.vel, qp.rot[self.palm_idx])
 
         object_local = pos_local[self.object_idx]
-        object_local_mag = jnp.linalg.norm(object_local).reshape(-1)
+        object_local_mag = maths.safe_norm(object_local).reshape(-1)
         object_local_dir = object_local / (1e-6 + object_local_mag)
 
         hand_to_obj = qp.pos[self.object_idx] - qp.pos[self.palm_idx]
-        hand_to_obj_mag = jnp.linalg.norm(hand_to_obj)
+        hand_to_obj_mag = maths.safe_norm(hand_to_obj)
         hand_to_obj_dir = hand_to_obj / (1e-6 + hand_to_obj_mag)
         hand_vel = qp.vel[self.hand_idx]
         heading_to_obj = jnp.dot(hand_to_obj_dir, hand_vel).reshape(-1)
 
         target_local = pos_local[self.target_idx]
-        target_local_mag = jnp.linalg.norm(target_local).reshape(-1)
+        target_local_mag = maths.safe_norm(target_local).reshape(-1)
         target_local_dir = target_local / (1e-6 + target_local_mag)
 
         obj_to_target = qp.pos[self.target_idx] - qp.pos[self.object_idx]
-        obj_to_target_mag = jnp.linalg.norm(obj_to_target).reshape(-1)
+        obj_to_target_mag = maths.safe_norm(obj_to_target).reshape(-1)
         obj_to_target_dir = obj_to_target / (1e-6 + obj_to_target_mag)
 
         object_vel = qp.vel[self.object_idx]

@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from brax_tpu import maths
 from brax_tpu.envs import base
 from brax_tpu.envs.assets.pusher import pusher_config
 from brax_tpu.sim.types import QP
@@ -63,8 +64,8 @@ class Pusher(base.Env):
         vec_1 = state.qp.pos[self._object_idx] - state.qp.pos[self._tips_arm_idx]
         vec_2 = state.qp.pos[self._object_idx] - state.qp.pos[self._goal_idx]
 
-        reward_near = -jnp.linalg.norm(vec_1)
-        reward_dist = -jnp.linalg.norm(vec_2)
+        reward_near = -maths.safe_norm(vec_1)
+        reward_dist = -maths.safe_norm(vec_2)
         reward_ctrl = -jnp.square(action).sum()
 
         qp, _ = self.sys.step(state.qp, action)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from brax_tpu import maths
 from brax_tpu.envs import base
 from brax_tpu.envs.assets.reacher import reacher_config, reacher_config_spring
 from brax_tpu.sim.types import QP, Info
@@ -43,7 +44,7 @@ class Reacher(base.Env):
         qp, info = self.sys.step(state.qp, action)
         obs = self._get_obs(qp, info)
 
-        reward_dist = -jnp.linalg.norm(obs[-3:])
+        reward_dist = -maths.safe_norm(obs[-3:])
         reward_ctrl = -jnp.square(action).sum()
         reward = reward_dist + reward_ctrl
         state.metrics.update(reward_dist=reward_dist, reward_ctrl=reward_ctrl)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from brax_tpu import maths
 from brax_tpu.envs import base
 from brax_tpu.envs.assets.reacherangle import (
     reacherangle_config,
@@ -55,7 +56,7 @@ class ReacherAngle(base.Env):
         qp, info = self.sys.step(state.qp, action)
         obs = self._get_obs(qp, info)
 
-        reward_dist = -jnp.linalg.norm(obs[-3:])
+        reward_dist = -maths.safe_norm(obs[-3:])
         reward = reward_dist
         metrics = {"rewardDist": reward_dist, "rewardCtrl": jnp.zeros(())}
         return state.replace(qp=qp, obs=obs, reward=reward, metrics=metrics)

@@ -148,3 +148,30 @@ def test_gradients_flow_through_contact_solver():
     g = jax.grad(loss)(jnp.zeros(8))
     assert bool(jnp.all(jnp.isfinite(g)))
     assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+@pytest.mark.parametrize("name", ["grasp", "fetch"])
+def test_gradients_flow_grasp_fetch(name):
+    """BASELINE config 4 names grasp + fetch specifically: APG gradients
+    must flow through their contact solvers (claw/object and dog/ground
+    contacts), not just ant's."""
+    import jax
+
+    env = envs._envs[name]()
+    state = env.reset(jax.random.PRNGKey(0))
+    na = env.action_size
+    # settle so contacts are active (grasp claw closes on the ball under
+    # zero action; fetch starts on the ground)
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state = step(state, jnp.zeros(na))
+
+    def loss(action):
+        # one step through the contact solver: enough to prove gradient
+        # flow, and grasp's graph is big enough that two chained steps
+        # roughly double an already-long CPU-CI grad compile
+        return env.step(state, action).reward
+
+    g = jax.jit(jax.grad(loss))(jnp.zeros(na))
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
