@@ -16,6 +16,10 @@ close that gap:
    individual trajectories have long since decorrelated.
    Measured: reward mean 0.6% rel, reward std 0.06%, done frac exact,
    z mean 1.3%, z std 8.2%.
+3. On TPU hardware (gated): the reference is self-stable under refusion
+   there (control divergence exactly 0.0 — HW_r03/tpu_noise.log), and our
+   divergence from it is pinned at the measured op-order round-off bound
+   (1.9e-5 @20 steps, 8.8e-5 @50) rather than claimed to be bit-exact.
 
 Parity target: /root/reference/brax/physics/system.py:254-325.
 """
@@ -140,13 +144,19 @@ def test_statistical_parity_1000step_256env():
 
 @pytest.mark.skipif(
     jax.default_backend() not in ("tpu", "axon"),
-    reason="hardware-gated: asserts TPU bit-exactness claims on a real chip "
-    "(run with BRAX_TPU_HW_TESTS=1 to keep the axon platform)",
+    reason="hardware-gated: asserts the measured TPU divergence bound on a "
+    "real chip (run with BRAX_TPU_HW_TESTS=1 to keep the axon platform)",
 )
-def test_tpu_bitexact_short_horizon():
-    """On TPU both implementations lower through the same Mosaic/XLA fusion
-    rules; round-1 hardware runs observed bit-exact 20-step trajectories.
-    Capture that as a gated test instead of a comment."""
+def test_tpu_short_horizon_divergence_bound():
+    """Round 1 claimed bit-exact 20-step TPU trajectories; the r2 hardware
+    capture disproved that (max|dpos| 1.9e-5 @20 steps).  The r3
+    measurement (tools/measure_tpu_noise.py, HW_r03/tpu_noise.log) shows
+    the reference IS self-stable on TPU under refusion (vmap(1) control
+    diverges by exactly 0.0), so the residual is genuine op-order
+    round-off of a ground-up rewrite, amplified by contact chaos:
+    2.7e-6 @5 steps, 1.9e-5 @20, 8.8e-5 @50.  This test pins that bound
+    (5x margin) instead of the false bit-exactness claim; the long-horizon
+    story is the statistical parity test above."""
     from brax.envs import ant as ref_ant
     from brax_tpu.envs import ant as my_ant
 
@@ -156,11 +166,16 @@ def test_tpu_bitexact_short_horizon():
     rs = jax.jit(ref_env.reset)(rng)
     ms = jax.jit(my_env.reset)(rng)
     rstep, mstep = jax.jit(ref_env.step), jax.jit(my_env.step)
+    # reset parity IS bit-exact (pure placement math, no chaos)
+    np.testing.assert_array_equal(np.asarray(rs.qp.pos), np.asarray(ms.qp.pos))
     key = jax.random.PRNGKey(7)
-    for _ in range(20):
+    bounds = {20: 1e-4, 50: 5e-4}
+    for i in range(50):
         key, k = jax.random.split(key)
         a = jax.random.uniform(k, (8,), minval=-1, maxval=1)
         rs, ms = rstep(rs, a), mstep(ms, a)
-    np.testing.assert_allclose(
-        np.asarray(rs.qp.pos), np.asarray(ms.qp.pos), atol=1e-6
-    )
+        if i + 1 in bounds:
+            d = float(
+                np.abs(np.asarray(rs.qp.pos) - np.asarray(ms.qp.pos)).max()
+            )
+            assert d < bounds[i + 1], f"step {i+1}: max|dpos| {d:.2e}"

@@ -11,20 +11,18 @@ BASELINE names as the many-body contact-heavy scaling testbed.
 """
 
 import json
-import os
 import sys
 import time
 
-# many-body scenes at 16k envs stream ~23 MB of kernel I/O blocks through
-# scoped VMEM; XLA's default cap is 16 MB (the r2 capture OOM'd at compile,
-# HW_r02/composer_16384.log) while the chip has 128 MB — raise it before
-# jax initializes
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_tpu_scoped_vmem_limit_kib=65536"
-)
-
 import jax
 import jax.numpy as jnp
+
+# many-body scenes at 16k envs stream ~23 MB of kernel I/O blocks through
+# scoped VMEM; XLA's TPU default cap is 16 MB (the r2 capture OOM'd at
+# compile, HW_r02/composer_16384.log) while the chip has 128 MB.  Passed
+# per-compile: the client-side CPU XLA aborts on unknown flags in
+# XLA_FLAGS, so the env-var route is not available.
+TPU_COMPILER_OPTS = {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
 def main():
@@ -52,8 +50,7 @@ def main():
     state = jax.block_until_ready(jax.jit(env.reset)(rng))
     print(f"reset jit+run: {time.perf_counter() - t0:.1f}s", flush=True)
 
-    @jax.jit
-    def rollout(state, key):
+    def rollout_fn(state, key):
         def body(carry, _):
             s, k = carry
             k, kk = jax.random.split(k)
@@ -64,6 +61,11 @@ def main():
 
         return jax.lax.scan(body, (state, key), (), length=steps)[0][0]
 
+    rollout = (
+        jax.jit(rollout_fn)
+        .lower(state, rng)
+        .compile(compiler_options=TPU_COMPILER_OPTS)
+    )
     t0 = time.perf_counter()
     state = jax.block_until_ready(rollout(state, rng))
     print(f"rollout jit+run: {time.perf_counter() - t0:.1f}s", flush=True)

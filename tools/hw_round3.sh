@@ -61,3 +61,10 @@ run_step sac_humanoid_ref_s0 14400 python tools/run_curves.py \
 run_step plot_curves 600 python tools/plot_curves.py CURVES_r02
 
 echo "all steps attempted; artifacts in $OUT/ and CURVES_r02/"
+
+# 6. PPO-ant wall-clock-to-solve (BASELINE target <60 s)
+run_step time_to_solve 5400 python tools/time_to_solve.py
+
+# 7. the recast hardware divergence-bound test must pass on the chip
+run_step hw_divergence_bound 3600 env BRAX_TPU_HW_TESTS=1 python -m pytest \
+  tests/test_bitexact_bounds.py::test_tpu_short_horizon_divergence_bound -x -q
