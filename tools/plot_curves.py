@@ -86,20 +86,43 @@ def main():
         ax.set(title=f"{agent} {env}", xlabel="env steps", ylabel="eval reward")
         ax.legend(fontsize=7)
 
+        # single-eval finals are noisy for SAC (per-eval return swings
+        # thousands on humanoid); report robust per-seed scores too:
+        # mean of the last 5 evals and the peak eval
+        robust = collections.defaultdict(list)
+        peaks = collections.defaultdict(list)
+        for c in group:
+            robust[c["impl"]].append(float(np.mean(c["reward"][-5:])))
+            peaks[c["impl"]].append(float(np.max(c["reward"])))
+
         lines.append(f"## {agent} {env}")
         for impl, f in sorted(finals.items()):
+            extra = ""
+            if impl in robust:
+                extra = (
+                    f"; last-5 mean {np.mean(robust[impl]):.1f}, "
+                    f"peak {np.mean(peaks[impl]):.1f}"
+                )
             lines.append(
                 f"- {impl}: final reward {np.mean(f):.1f} ± {np.std(f):.1f} "
-                f"({len(f)} seed{'s' if len(f) != 1 else ''})"
+                f"({len(f)} seed{'s' if len(f) != 1 else ''}){extra}"
             )
         if "ours" in finals and ("ref" in finals or "published" in finals):
-            other = finals.get("ref") or finals["published"]
-            spread = max(np.std(finals["ours"]), np.std(other), 1e-9)
-            gap = abs(np.mean(finals["ours"]) - np.mean(other))
-            verdict = "WITHIN" if gap <= max(2 * spread, 0.1 * abs(np.mean(other))) else "OUTSIDE"
+            use_ref = "ref" in finals
+            ours = robust["ours"] if use_ref else finals["ours"]
+            other = robust["ref"] if use_ref else finals["published"]
+            spread = max(np.std(ours), np.std(other), 1e-9)
+            gap = np.mean(ours) - np.mean(other)
+            if gap >= 0:
+                verdict = "MATCHES OR BEATS reference"
+            elif -gap <= max(2 * spread, 0.1 * abs(np.mean(other))):
+                verdict = "WITHIN seed variance"
+            else:
+                verdict = "OUTSIDE seed variance (worse)"
+            basis = "last-5-mean" if use_ref else "final"
             lines.append(
-                f"- gap {gap:.1f} vs seed spread {spread:.1f} -> {verdict} "
-                "seed variance"
+                f"- {basis} gap {gap:+.1f} vs seed spread {spread:.1f} "
+                f"-> {verdict}"
             )
         lines.append("")
 
