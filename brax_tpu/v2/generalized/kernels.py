@@ -158,6 +158,23 @@ def _mm(a, b):
     return jnp.stack([jnp.sum(a[i][:, None] * b, axis=0) for i in range(a.shape[0])])
 
 
+def _mm_sym(a, b):
+    """a @ b for a product known symmetric (e.g. X M X with X, M symmetric):
+    computes the upper triangle only and mirrors it.  The mirrored lower
+    half differs from a direct evaluation at float round-off only."""
+    m = a.shape[0]
+    arow = [a[i] for i in range(m)]  # hoisted: one slice per row/column,
+    bcol = [b[:, j] for j in range(m)]  # not one per (i, j) cell
+    cell = [[None] * m for _ in range(m)]
+    for i in range(m):
+        for j in range(i, m):
+            v = jnp.sum(arow[i] * bcol[j], axis=0)
+            cell[i][j] = v
+            if i != j:
+                cell[j][i] = v
+    return jnp.stack([jnp.stack(r) for r in cell])
+
+
 def _np_rotate(v: onp.ndarray, q: onp.ndarray) -> onp.ndarray:
     """Static quaternion rotation in float64 numpy (build-time)."""
     v = onp.asarray(v, onp.float64)
@@ -765,7 +782,8 @@ def _inv_ns(mx, minv0, iters=NS_ITERS, tol=1e-12):
 
     err = jnp.ones_like(r0n)
     for _ in range(iters):
-        nxt = 2 * cur - _mm(cur, _mm(mt, cur))
+        # X M X is symmetric for symmetric X, M: mirror its upper triangle
+        nxt = 2 * cur - _mm_sym(cur, _mm(mt, cur))
         nxt_err = jnp.sqrt(jnp.sum((nxt - cur) ** 2, axis=(0, 1)))
         cur = jnp.where((err > tol)[None, None], nxt, cur)
         err = jnp.where(err > tol, nxt_err, err)
@@ -794,11 +812,16 @@ def _imp_aref(pos, vel):
 def _jacobian(p: _Plan, q, com, cdof, cpos, cpen):
     """Contact + limit constraint rows (constraint.py:69-121).
 
-    Returns (jac (nr,nd,S,L), pos (nr,S,L), diag (nr,S,L)).
+    Returns (rows, pos (nr,S,L), diag (nr,S,L)) where `rows` is a list of
+    nr sparse jacobian rows, each a dict {dof -> (S,L) coefficient}.  The
+    sparsity is static — contact rows touch only the contact link's
+    ancestor-chain dofs, limit rows exactly one dof — so every downstream
+    product (J qd, J M^-1, J M^-1 J^T, J^T x) skips structural zeros at
+    trace time; dropping exact-zero terms leaves the float sums unchanged.
     """
     cdof_ang, cdof_vel = cdof
-    zero = jnp.zeros_like(q[0])
-    jac_rows, pos_rows, diag_rows = [], [], []
+    jac_rows: List[dict] = []
+    pos_rows, diag_rows = [], []
 
     for c in range(p.nc):
         l = p.c_link[c]
@@ -818,13 +841,18 @@ def _jacobian(p: _Plan, q, com, cdof, cpos, cpen):
             if p.dof_anc[l, d] > 0:
                 a_vel[d] = cdof_vel[d] - _cross(cpos[c] - com, cdof_ang[d])
         for dvec in dirs:
-            row = []
-            for d in range(p.nd):
-                if d in a_vel:
-                    row.append(_vdot(p.c3(dvec), a_vel[d]) * active)
-                else:
-                    row.append(zero)
-            jac_rows.append(jnp.stack(row))
+            # static 3-vector dot: components fold in as scalar immediates
+            jac_rows.append(
+                {
+                    d: (
+                        float(dvec[0]) * av[0]
+                        + float(dvec[1]) * av[1]
+                        + float(dvec[2]) * av[2]
+                    )
+                    * active
+                    for d, av in a_vel.items()
+                }
+            )
             pos_rows.append(-cpen[c] * active)
             t = float(p.link_invweight[l])
             diag_rows.append(
@@ -838,15 +866,13 @@ def _jacobian(p: _Plan, q, com, cdof, cpos, cpen):
             pos_max = float(hi[d]) - q[qi]
             pos = jnp.minimum(jnp.minimum(pos_min, pos_max), 0.0)
             side = ((pos_min < pos_max) * 2 - 1) * (pos < 0)
-            row = [zero] * p.nd
-            row[d] = side.astype(q.dtype)
-            jac_rows.append(jnp.stack(row))
+            jac_rows.append({d: side.astype(q.dtype)})
             pos_rows.append(pos)
             diag_rows.append(float(p.dof_invweight[d]) * (pos < 0))
 
     if not jac_rows:
         return None, None, None
-    return jnp.stack(jac_rows), jnp.stack(pos_rows), jnp.stack(diag_rows)
+    return jac_rows, jnp.stack(pos_rows), jnp.stack(diag_rows)
 
 
 def _orthogonals_np(n: onp.ndarray) -> Tuple[onp.ndarray, onp.ndarray]:
@@ -956,15 +982,22 @@ def _build_tile_frames(sys: System, n_frames: int, tile: Tuple[int, int]):
 
     def step(carry, act):
         q, qd, minv_prev = carry
-        x_pos, x_rot = _fk(p, q)
-        cpos, cpen = _contacts(p, x_pos, x_rot)
-        com, cinr, cd, cdof, cdofd = _transform_com(p, q, qd, x_pos, x_rot)
-        mx = _mass_matrix(p, cinr, cdof)
-        minv = _inv_ns(mx, minv_prev)
-        jac, cpos_rows, cdiag = _jacobian(p, q, com, cdof, cpos, cpen)
+        with jax.named_scope("fk"):
+            x_pos, x_rot = _fk(p, q)
+        with jax.named_scope("contacts"):
+            cpos, cpen = _contacts(p, x_pos, x_rot)
+        with jax.named_scope("com"):
+            com, cinr, cd, cdof, cdofd = _transform_com(p, q, qd, x_pos, x_rot)
+        with jax.named_scope("massmx"):
+            mx = _mass_matrix(p, cinr, cdof)
+        with jax.named_scope("inv_ns"):
+            minv = _inv_ns(mx, minv_prev)
+        with jax.named_scope("jacobian"):
+            jac, cpos_rows, cdiag = _jacobian(p, q, com, cdof, cpos, cpen)
 
         # qf_smooth = passive - bias + tau (dynamics.forward:161-163)
-        bias = _bias(p, qd, cinr, cd, cdof, cdofd)
+        with jax.named_scope("bias"):
+            bias = _bias(p, qd, cinr, cd, cdof, cdofd)
         tau = [jnp.zeros_like(qd[0]) for _ in range(p.nd)]
         for k, d in enumerate(p.act_qdid):
             force = jnp.clip(act[k], float(p.act_lo[k]), float(p.act_hi[k]))
@@ -981,37 +1014,65 @@ def _build_tile_frames(sys: System, n_frames: int, tile: Tuple[int, int]):
 
         # constraint force (constraint.force, constraint.py:180-191)
         if jac is not None:
-            jqd = _mv(jac, qd)
-            imp, aref = _imp_aref(cpos_rows, jqd)
-            jm = _mm(jac, minv)  # (nr, nd)
-            nr = jac.shape[0]
-            diag_add = cdiag * (1 - imp) / imp
-            # fold the regularizer into the diagonal while building rows —
-            # no (nr,nr)->(nr,nr,1,1) identity reshape (Mosaic can't shape-
-            # cast tiled dims into leading positions)
-            rows = []
-            for i in range(nr):
-                r = jnp.sum(jm[i][None] * jac, axis=1)  # (nr, S, L)
-                bumped = (r[i] + diag_add[i])[None]
-                parts = ([r[:i]] if i else []) + [bumped]
-                if i + 1 < nr:
-                    parts.append(r[i + 1 :])
-                rows.append(
-                    parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            nr = len(jac)
+            with jax.named_scope("amat"):
+                add = lambda terms: functools.reduce(jnp.add, terms)
+                jqd = jnp.stack(
+                    [add([v * qd[d] for d, v in row.items()]) for row in jac]
                 )
-            amat = jnp.stack(rows)
-            bvec = _mv(jm, qf_smooth) - aref
-            xsol = _fista(amat, bvec, maxiter=p.solver_iters)
-            qf_c = _mtv(jac, xsol)
+                imp, aref = _imp_aref(cpos_rows, jqd)
+                # jm[i] = row_i @ minv over the row's support: (nd, S, L)
+                jm = [
+                    add([v[None] * minv[d] for d, v in row.items()])
+                    for row in jac
+                ]
+                diag_add = cdiag * (1 - imp) / imp
+                # amat = J M^-1 J^T + diag(regularizer).  Symmetric, so only
+                # the upper triangle is computed and mirrored (the dropped
+                # lower half differs at float round-off only); each entry
+                # contracts over the SPARSER row's support.  No (nr,nr) ->
+                # (nr,nr,1,1) identity reshape (Mosaic can't shape-cast
+                # tiled dims into leading positions).
+                cell = [[None] * nr for _ in range(nr)]
+                for i in range(nr):
+                    for j in range(i, nr):
+                        ri, rj = jac[i], jac[j]
+                        if len(rj) <= len(ri):
+                            v = add([w * jm[i][d] for d, w in rj.items()])
+                        else:
+                            v = add([w * jm[j][d] for d, w in ri.items()])
+                        if i == j:
+                            v = v + diag_add[i]
+                        cell[i][j] = v
+                        if i != j:
+                            cell[j][i] = v
+                amat = jnp.stack([jnp.stack(r) for r in cell])
+                bvec = jnp.stack(
+                    [_vdot(jm_i, qf_smooth) for jm_i in jm]
+                ) - aref
+            with jax.named_scope("fista"):
+                xsol = _fista(amat, bvec, maxiter=p.solver_iters)
+                # qf_c = J^T x over each dof's incident rows
+                qf_c = jnp.stack(
+                    [
+                        add(
+                            [row[d] * xsol[i] for i, row in enumerate(jac) if d in row]
+                            or [jnp.zeros_like(qd[0])]
+                        )
+                        for d in range(p.nd)
+                    ]
+                )
         else:
             qf_c = jnp.zeros_like(qd)
 
         # dof damping folded into M^-1 via the first-order inverse expansion
         # (pipeline.py:37-41): minv - minv @ diag(damping*dt) @ minv
-        dcol = p.cvec(p.damping.astype(onp.float32) * onp.float32(p.dt))[None]
-        minv_d = minv - _mm(minv * dcol, minv)
-        qdd = _mv(minv_d, qf_smooth + qf_c)
-        q, qd = _integrate(p, q, qd, qdd)
+        with jax.named_scope("integrate"):
+            dcol = p.cvec(p.damping.astype(onp.float32) * onp.float32(p.dt))[None]
+            # M^-1 diag(damping dt) M^-1 is symmetric: triangle + mirror
+            minv_d = minv - _mm_sym(minv * dcol, minv)
+            qdd = _mv(minv_d, qf_smooth + qf_c)
+            q, qd = _integrate(p, q, qd, qdd)
         return (q, qd, minv)
 
     def tile_frames(q, qd, minv, act):
@@ -1058,7 +1119,11 @@ _OUT_KEYS = ("q", "qd", "minv", "x_pos", "x_rot", "xd_ang", "xd_vel",
 
 
 def build_pipeline_step_fn(
-    sys: System, n_frames: int, num_envs: int, interpret: bool = False
+    sys: System,
+    n_frames: int,
+    num_envs: int,
+    interpret: bool = False,
+    sub: Optional[int] = None,
 ):
     """Batched fused env-step physics: (State[B], act[B, na]) -> State[B].
 
@@ -1066,13 +1131,21 @@ def build_pipeline_step_fn(
     of brax_tpu/sim/kernels.py:1237-1246: env axis as trailing
     (sublane, lane) tiles, one grid program per tile.  interpret=True runs
     the pallas_call in interpreter mode (CPU CI parity tests).
+
+    `sub` overrides the sublane-tile height (default 8 = one vreg row).
+    Larger tiles (16/32) process several vregs per op, which fills the
+    VPU's dependency-stall slots in this kernel's long serial chains (NS /
+    FISTA iterations) at the cost of a proportionally larger VMEM working
+    set — see tools/bench_v2_generalized.py's sweep.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     assert num_envs % LANE == 0, num_envs
     n_rows = num_envs // LANE
-    sub = 8 if n_rows % 8 == 0 else n_rows
+    if sub is None:
+        sub = 8 if n_rows % 8 == 0 else n_rows
+    assert n_rows % sub == 0, (n_rows, sub)
     grid = (n_rows // sub,)
     tile_frames, p = _build_tile_frames(sys, n_frames, (sub, LANE))
 

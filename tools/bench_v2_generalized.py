@@ -99,6 +99,10 @@ def main():
             dq = float(jnp.max(jnp.abs(kcur.q - ref.q)))
             dqd = float(jnp.max(jnp.abs(kcur.qd - ref.qd)))
             print(f"fused-vs-XLA parity (1 env-step): |dq|={dq:.2e} |dqd|={dqd:.2e}")
+            # second warm-up on the step-produced state: its pytree metadata
+            # differs from the reset-produced one, so the first loop call
+            # would otherwise hide a full recompile inside the timing
+            kcur = jax.block_until_ready(kstep(kcur, act))
             t0 = time.perf_counter()
             for _ in range(steps):
                 kcur = kstep(kcur, act)
@@ -126,7 +130,58 @@ def main():
                 f"fused env.step: {fused_sps:,.0f} env-steps/s"
                 f"  ({dt/steps*1e3:.2f} ms/step)"
             )
+
+            # scanned rollout: `steps` chained env.steps inside ONE jitted
+            # program — the trainer-shaped measurement (rollouts run under
+            # lax.scan there), free of per-call host dispatch latency
+            @jax.jit
+            def rollout(s0):
+                def body(c, _):
+                    return jax.vmap(env.step)(c, act), None
+
+                return jax.lax.scan(body, s0, (), steps)[0]
+
+            t0 = time.perf_counter()
+            jax.block_until_ready(rollout(s2))
+            print(f"fused rollout jit: {time.perf_counter()-t0:.1f}s", flush=True)
+            t0 = time.perf_counter()
+            jax.block_until_ready(rollout(s2))
+            dt = time.perf_counter() - t0
+            fused_scan_sps = batch * steps / dt
+            print(
+                f"fused env.step (scanned): {fused_scan_sps:,.0f} env-steps/s"
+                f"  ({dt/steps*1e3:.2f} ms/step)"
+            )
+            fused_sps = max(fused_sps, fused_scan_sps)
             gk.enable(False)
+
+            # sublane-tile sweep: larger tiles trade VMEM for ILP in the
+            # kernel's serial NS/FISTA chains (see build_pipeline_step_fn)
+            n_rows = batch // gk.LANE
+            for sub in (16, 32):
+                if n_rows % sub:
+                    continue
+                try:
+                    kstep_s = jax.jit(
+                        gk.build_pipeline_step_fn(
+                            sysm, env._n_frames, batch, sub=sub
+                        )
+                    )
+                    t0 = time.perf_counter()
+                    c = jax.block_until_ready(kstep_s(ps0, act))
+                    print(f"sub={sub} jit: {time.perf_counter()-t0:.1f}s", flush=True)
+                    c = jax.block_until_ready(kstep_s(c, act))
+                    t0 = time.perf_counter()
+                    for _ in range(steps):
+                        c = kstep_s(c, act)
+                    jax.block_until_ready(c)
+                    dt = time.perf_counter() - t0
+                    print(
+                        f"sub={sub} fused kernel: {batch*steps/dt:,.0f}"
+                        f" env-steps/s  ({dt/steps*1e3:.2f} ms/step)"
+                    )
+                except Exception as e:  # noqa: BLE001 - VMEM overflow etc
+                    print(f"sub={sub} failed: {type(e).__name__}: {e}")
         except Exception as e:  # noqa: BLE001 - report, keep the XLA numbers
             print(f"fused kernel failed: {type(e).__name__}: {e}")
     print(
