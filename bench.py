@@ -121,8 +121,11 @@ def _min_hbm_bytes_per_env_step(state, env, num_envs):
 
 
 def main():
+    from brax_tpu.compilation_cache import enable_compilation_cache
     from brax_tpu.envs import create
     from brax_tpu.sim import kernels
+
+    enable_compilation_cache()
 
     # rollout is the measured path: use the fused Pallas physics kernel
     kernels.enable(True)

@@ -1,0 +1,174 @@
+"""AOT program cache: traced+lowered (StableHLO) programs round-trip disk.
+
+Cold-starting a trainer pays two one-off costs per program shape:
+
+1. Python tracing + MLIR lowering — minutes for the fused-Pallas trainer
+   programs, re-paid by EVERY process because XLA's persistent compilation
+   cache only caches the *compile* step;
+2. the XLA/Mosaic compile — already disk-cached by
+   brax_tpu.compilation_cache.
+
+`jax.export` removes the first cost: the traced program serializes to
+StableHLO bytes, and a warm process deserializes + calls without ever
+running the Python trace.  Measured on the v5e chip
+(HW_r04/aot_{cold,warm}.log, v1-ant fused env.step @512): cold = 64 s
+trace + 19.5 s compile; warm = 0.0 s deserialize + 0.6 s first call
+(compilation-cache hit) + 27 ms steady-state call.
+
+The reference has no analog (its pure-XLA programs trace in seconds); this
+is the TPU-native answer to minutes-long Mosaic cold starts in production
+restarts — the same role torch.compile caches / TensorRT engines play
+elsewhere.
+
+Correctness/safety model: a cache entry is keyed by a caller-supplied
+fingerprint that must cover everything the traced program bakes in — scene
+constants, hyperparameters, shapes, mesh — plus the jax/brax_tpu versions
+and device kind (added here).  `cached_call` falls back to plain `jax.jit`
+on ANY failure (serialization of exotic pytrees, export version skew,
+unsupported primitives), so enabling it is never worse than not having it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+from typing import Any, Callable, Optional, Tuple
+
+_DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "brax_tpu", "aot")
+
+
+def _dir(cache_dir: Optional[str]) -> Optional[str]:
+    if os.environ.get("BRAX_TPU_NO_CACHE"):
+        return None
+    return cache_dir or os.environ.get("BRAX_TPU_AOT_DIR") or _DEFAULT_DIR
+
+
+def fingerprint(*parts: Any) -> str:
+    """Stable hash of reprs + the ambient jax/brax/device environment."""
+    import jax
+
+    import brax_tpu
+
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    h.update(jax.__version__.encode())
+    h.update(brax_tpu.__version__.encode())
+    h.update(jax.default_backend().encode())
+    try:
+        h.update(jax.devices()[0].device_kind.encode())
+    except Exception:  # noqa: BLE001
+        pass
+    return h.hexdigest()[:24]
+
+
+def fingerprint_pytree(tree: Any) -> str:
+    """Hash of a pytree's structure and concrete leaf bytes (e.g. a System:
+    two scenes differing in any parameter get different programs)."""
+    import jax
+    import numpy as onp
+
+    h = hashlib.sha256()
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    h.update(repr(treedef).encode())
+    for leaf in leaves:
+        try:
+            a = onp.asarray(leaf)
+            h.update(str(a.shape).encode())
+            h.update(str(a.dtype).encode())
+            h.update(a.tobytes())
+        except Exception:  # noqa: BLE001
+            h.update(repr(leaf).encode())
+    return h.hexdigest()[:24]
+
+
+def cached_call(
+    fn: Callable,
+    key: str,
+    example_args: Tuple,
+    cache_dir: Optional[str] = None,
+) -> Tuple[Callable, str]:
+    """A jit(fn)-equivalent callable backed by the disk AOT cache.
+
+    `example_args` must have the treedef/avals every later call will use
+    (concrete arrays or ShapeDtypeStructs).  Returns (call, status) where
+    status is one of 'hit' (deserialized, no tracing), 'miss' (traced,
+    exported, stored), or 'fallback' (plain jax.jit; caching unavailable).
+
+    The cached program carries no donation annotations; callers relying on
+    buffer donation for memory headroom should weigh that against the
+    cold-start win.
+    """
+    import jax
+
+    d = _dir(cache_dir)
+    if d is None:
+        return jax.jit(fn), "fallback"
+
+    import logging
+
+    log = logging.getLogger(__name__)
+    from jax import export as jexport
+
+    os.makedirs(d, exist_ok=True)
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in key)
+    exp_path = os.path.join(d, f"{safe}.jaxexp")
+    tree_path = os.path.join(d, f"{safe}.tree")
+
+    flat_ex, in_treedef = jax.tree_util.tree_flatten(example_args)
+    out_cell = {}
+
+    def flat_fn(*leaves):
+        args = jax.tree_util.tree_unflatten(in_treedef, leaves)
+        out = fn(*args)
+        out_flat, out_treedef = jax.tree_util.tree_flatten(out)
+        out_cell["treedef"] = out_treedef
+        return tuple(out_flat)
+
+    exported = out_treedef = None
+    if os.path.exists(exp_path) and os.path.exists(tree_path):
+        try:
+            with open(exp_path, "rb") as f:
+                exported = jexport.deserialize(bytearray(f.read()))
+            with open(tree_path, "rb") as f:
+                meta = pickle.load(f)
+            out_treedef = meta["out_treedef"]
+            if repr(meta["in_treedef"]) != repr(in_treedef):
+                raise ValueError("input treedef changed; recompiling")
+            status = "hit"
+        except Exception as e:  # noqa: BLE001 - stale/corrupt entry
+            log.warning("aot cache load failed for %s: %s", key, e)
+            exported = out_treedef = None
+
+    if exported is None:
+        try:
+            specs = [
+                jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+                if hasattr(x, "shape")
+                else x
+                for x in flat_ex
+            ]
+            exported = jexport.export(jax.jit(flat_fn))(*specs)
+            out_treedef = out_cell["treedef"]
+            with open(exp_path + ".tmp", "wb") as f:
+                f.write(exported.serialize())
+            with open(tree_path + ".tmp", "wb") as f:
+                pickle.dump(
+                    {"in_treedef": in_treedef, "out_treedef": out_treedef}, f
+                )
+            os.replace(exp_path + ".tmp", exp_path)
+            os.replace(tree_path + ".tmp", tree_path)
+            status = "miss"
+        except Exception as e:  # noqa: BLE001 - export unsupported: plain jit
+            log.warning("aot export failed for %s: %s", key, e)
+            return jax.jit(fn), "fallback"
+
+    def call(*args):
+        leaves = jax.tree_util.tree_leaves(args)
+        out = exported.call(*leaves)
+        return jax.tree_util.tree_unflatten(out_treedef, list(out))
+
+    log.info("aot cache %s for %s", status, key)
+    return call, status

@@ -65,9 +65,14 @@ class Evaluator:
     def __init__(self, eval_env: envs.Env,
                  eval_policy_fn: Callable[[PolicyParams], Policy],
                  num_eval_envs: int, episode_length: int, action_repeat: int,
-                 key: PRNGKey):
+                 key: PRNGKey, aot_key: str | None = None):
         self._key = key
         self._eval_walltime = 0.0
+        # AOT cache id: when set, the eval unroll loads from the on-disk
+        # StableHLO cache instead of re-tracing (brax_tpu.aot) — tracing the
+        # 1000-step fused-kernel unroll is a minutes-scale cold-start cost
+        self._aot_key = aot_key
+        self._unroll_fn = None
 
         from brax_tpu.v2.envs import env as v2_env_mod
         from brax_tpu.v2.envs import wrappers as v2_wrappers
@@ -88,8 +93,22 @@ class Evaluator:
                 unroll_length=episode_length // action_repeat,
             )[0]
 
-        self._generate_eval_unroll = jax.jit(generate_eval_unroll)
+        self._generate_eval_unroll_raw = generate_eval_unroll
         self._steps_per_unroll = episode_length * num_eval_envs
+
+    def _unroll(self, policy_params: PolicyParams, key: PRNGKey):
+        if self._unroll_fn is None:
+            if self._aot_key:
+                from brax_tpu import aot
+
+                self._unroll_fn, _ = aot.cached_call(
+                    self._generate_eval_unroll_raw,
+                    f"eval_unroll_{self._aot_key}",
+                    (policy_params, key),
+                )
+            else:
+                self._unroll_fn = jax.jit(self._generate_eval_unroll_raw)
+        return self._unroll_fn(policy_params, key)
 
     def run_evaluation(self, policy_params: PolicyParams,
                        training_metrics: Metrics,
@@ -98,7 +117,7 @@ class Evaluator:
         self._key, unroll_key = jax.random.split(self._key)
 
         t = time.time()
-        eval_state = self._generate_eval_unroll(policy_params, unroll_key)
+        eval_state = self._unroll(policy_params, unroll_key)
         eval_metrics = eval_state.info["eval_metrics"]
         eval_metrics.active_episodes.block_until_ready()
         epoch_eval_time = time.time() - t

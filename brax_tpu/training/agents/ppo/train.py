@@ -79,6 +79,7 @@ def train(
     restore_checkpoint_path: Optional[str] = None,
     profiler_dir: Optional[str] = None,
     use_fused_kernel: Optional[bool] = None,
+    aot_cache: bool = False,
 ):
     """PPO training; returns (make_policy, params, metrics).
 
@@ -89,6 +90,32 @@ def train(
     rewards reach the policy without env recompilation)."""
     assert batch_size * num_minibatches % num_envs == 0
     xt = time.time()
+
+    # aot_cache=True: the three jitted programs (reset, eval unroll,
+    # training epoch) round-trip the on-disk StableHLO cache (brax_tpu.aot),
+    # so warm restarts skip minutes of Python tracing of the fused-kernel
+    # graphs.  The cached epoch program drops buffer donation (params +
+    # env state are duplicated for one program instance — negligible at RL
+    # sizes).  Keyed on every trainer hyperparameter + the System content.
+    aot_fp = None
+    if aot_cache:
+        from brax_tpu import aot
+
+        aot_fp = aot.fingerprint(
+            "ppo",
+            num_timesteps, episode_length, action_repeat, num_envs,
+            num_eval_envs, learning_rate, entropy_cost, discounting,
+            unroll_length, batch_size, num_minibatches,
+            num_updates_per_batch, num_evals, normalize_observations,
+            reward_scaling, clipping_epsilon, gae_lambda,
+            deterministic_eval, normalize_advantage, use_fused_kernel,
+            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            getattr(extra_loss_fn, "__qualname__", None),
+            getattr(reward_relabel_fn, "__qualname__", None),
+            extra_learning_rate,
+            type(environment).__module__ + "." + type(environment).__qualname__,
+            aot.fingerprint_pytree(getattr(environment, "sys", None)),
+        )
 
     # fused Pallas physics in the rollout: 2x faster end-to-end training on
     # TPU (4.55M vs 2.30M env-steps/s, ant@2048, same learning curves).
@@ -266,15 +293,13 @@ def train(
         loss_metrics = jax.lax.pmean(loss_metrics, axis_name=AXIS)
         return training_state, state, loss_metrics
 
-    training_epoch = jax.jit(
-        mesh_utils.shard_map(
-            training_epoch,
-            mesh,
-            in_specs=(P(), P(AXIS), P(AXIS)),
-            out_specs=(P(), P(AXIS), P()),
-        ),
-        donate_argnums=(0, 1),
+    training_epoch_sm = mesh_utils.shard_map(
+        training_epoch,
+        mesh,
+        in_specs=(P(), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(AXIS), P()),
     )
+    training_epoch = jax.jit(training_epoch_sm, donate_argnums=(0, 1))
 
     training_walltime = 0.0
 
@@ -351,10 +376,38 @@ def train(
     training_state = mesh_utils.put_replicated(training_state, mesh)
 
     key_envs = jax.random.split(key_env, num_envs)
-    reset_fn = jax.jit(
-        env.reset, out_shardings=mesh_utils.env_sharded(mesh)
-    )
+    if aot_cache:
+        from brax_tpu import aot
+
+        _env_sharding = mesh_utils.env_sharded(mesh)
+
+        def _reset_sharded(keys):
+            return jax.lax.with_sharding_constraint(
+                env.reset(keys), _env_sharding
+            )
+
+        reset_fn, _ = aot.cached_call(
+            _reset_sharded,
+            f"ppo_reset_{aot_fp}",
+            (mesh_utils.put_env_sharded(key_envs, mesh),),
+        )
+    else:
+        reset_fn = jax.jit(
+            env.reset, out_shardings=mesh_utils.env_sharded(mesh)
+        )
     env_state = reset_fn(mesh_utils.put_env_sharded(key_envs, mesh))
+
+    if aot_cache:
+        # swap the donating jit for the AOT-cached epoch program now that a
+        # concrete (training_state, env_state, keys) example exists
+        _example_keys = mesh_utils.put_env_sharded(
+            jax.random.split(jax.random.PRNGKey(0), device_count), mesh
+        )
+        training_epoch, _ = aot.cached_call(
+            training_epoch_sm,
+            f"ppo_epoch_{aot_fp}",
+            (training_state, env_state, _example_keys),
+        )
 
     if not eval_env:
         eval_env = env
@@ -370,6 +423,7 @@ def train(
         episode_length=episode_length,
         action_repeat=action_repeat,
         key=eval_key,
+        aot_key=f"ppo_{aot_fp}" if aot_cache else None,
     )
 
     metrics = {}

@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_gradient_norm", type=float, default=1e9)
     p.add_argument("--logdir", default="/tmp/brax_tpu_learner")
     p.add_argument("--normalize_observations", action="store_true", default=True)
+    p.add_argument("--aot_cache", action="store_true", default=False,
+                   help="cache traced+lowered programs (StableHLO) on disk: "
+                        "warm restarts skip minutes of fused-kernel tracing "
+                        "(PPO only for now; see brax_tpu/aot.py)")
     p.add_argument("--no_normalize_observations", dest="normalize_observations",
                    action="store_false")
     p.add_argument("--num_videos", type=int, default=1)
@@ -83,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+
+    # cold-start cost control: every program shape compiles at most once per
+    # machine (the fused Pallas kernels take minutes to compile cold)
+    from brax_tpu.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.sweep:
         from brax_tpu.braxlines import sweeps
@@ -160,6 +170,7 @@ def main(argv=None):
                 gae_lambda=args.gae_lambda,
                 clipping_epsilon=args.clipping_epsilon,
                 progress_fn=writer.write_scalars,
+                aot_cache=args.aot_cache,
             )
         elif args.learner == "apg":
             make_policy, params, _ = apg.train(

@@ -1118,25 +1118,17 @@ _OUT_KEYS = ("q", "qd", "minv", "x_pos", "x_rot", "xd_ang", "xd_vel",
              "c_pos", "c_pen")
 
 
-def build_pipeline_step_fn(
+def _build_call(
     sys: System,
     n_frames: int,
     num_envs: int,
     interpret: bool = False,
     sub: Optional[int] = None,
 ):
-    """Batched fused env-step physics: (State[B], act[B, na]) -> State[B].
+    """The raw pallas_call over env tiles plus its plan and output schema.
 
-    B = num_envs must be a multiple of 128.  Uses the square-vreg env layout
-    of brax_tpu/sim/kernels.py:1237-1246: env axis as trailing
-    (sublane, lane) tiles, one grid program per tile.  interpret=True runs
-    the pallas_call in interpreter mode (CPU CI parity tests).
-
-    `sub` overrides the sublane-tile height (default 8 = one vreg row).
-    Larger tiles (16/32) process several vregs per op, which fills the
-    VPU's dependency-stall slots in this kernel's long serial chains (NS /
-    FISTA iterations) at the cost of a proportionally larger VMEM working
-    set — see tools/bench_v2_generalized.py's sweep.
+    Returns (call, p, out_schema) where `call(q_t, qd_t, minv_t, act_t)`
+    takes/returns arrays in tiled layout (lead..., n_rows, LANE).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1183,6 +1175,57 @@ def build_pipeline_step_fn(
         # Mosaic's default 16 MB scoped VMEM; see lowering.VMEM_LIMIT_BYTES
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT_BYTES),
     )
+    return call, p, out_schema
+
+
+def build_tiled_chain_fn(
+    sys: System,
+    n_frames: int,
+    num_envs: int,
+    sub: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Tiled-space env-step physics for rollout chains.
+
+    Returns (step_t, out_schema) where `step_t((q_t, qd_t, minv_t), act_t)`
+    -> ((q_t, qd_t, minv_t), outs) keeps the carried state in the kernel's
+    native (lead..., n_rows, LANE) layout, so a lax.scan over steps pays the
+    (B, ...) <-> tiled relayout once per rollout instead of once per step.
+    """
+    call, p, out_schema = _build_call(sys, n_frames, num_envs, interpret, sub)
+    idx = {k: i for i, (k, _) in enumerate(out_schema)}
+
+    def step_t(carry, act_t):
+        q_t, qd_t, minv_t = carry
+        outs = call(q_t, qd_t, minv_t, act_t)
+        return (outs[idx["q"]], outs[idx["qd"]], outs[idx["minv"]]), outs
+
+    return step_t, out_schema
+
+
+def build_pipeline_step_fn(
+    sys: System,
+    n_frames: int,
+    num_envs: int,
+    interpret: bool = False,
+    sub: Optional[int] = None,
+):
+    """Batched fused env-step physics: (State[B], act[B, na]) -> State[B].
+
+    B = num_envs must be a multiple of 128.  Uses the square-vreg env layout
+    of brax_tpu/sim/kernels.py:1237-1246: env axis as trailing
+    (sublane, lane) tiles, one grid program per tile.  interpret=True runs
+    the pallas_call in interpreter mode (CPU CI parity tests).
+
+    `sub` overrides the sublane-tile height (default 8 = one vreg row).
+    Larger tiles (16/32) process several vregs per op, which fills the
+    VPU's dependency-stall slots in this kernel's long serial chains (NS /
+    FISTA iterations) at the cost of a proportionally larger VMEM working
+    set — see tools/bench_v2_generalized.py's sweep.
+    """
+    n_rows = num_envs // LANE
+    call, p, out_schema = _build_call(sys, n_frames, num_envs, interpret, sub)
+    na = max(len(p.act_qdid), 1)
 
     # static contact metadata for rebuilding State.contact
     c_normal = onp.stack(p.c_normal) if p.nc else onp.zeros((0, 3), onp.float32)

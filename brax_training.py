@@ -17,6 +17,9 @@ from brax_tpu.training.agents.ppo import train as ppo
 
 
 def main():
+    from brax_tpu.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--env", default="humanoid")
     parser.add_argument("--num_timesteps", type=int, default=50_000_000)

@@ -30,8 +30,11 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     num_agents = int(sys.argv[3]) if len(sys.argv) > 3 else 4
 
+    from brax_tpu.compilation_cache import enable_compilation_cache
     from brax_tpu.composer import envs as cenvs
     from brax_tpu.sim import kernels
+
+    enable_compilation_cache()
 
     kernels.enable(True)  # fused Pallas physics on TPU (supported(sys)=True)
 

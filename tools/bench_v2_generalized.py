@@ -1,8 +1,17 @@
-"""Benchmark the v2 generalized pipeline on TPU (batched env.step).
+"""Benchmark the v2 generalized pipeline on TPU.
+
+All timings are SCANNED rollouts — `steps` chained env.steps inside ONE
+jitted program, the shape rollouts take inside the trainers (lax.scan in
+acting.generate_unroll).  Per-call python loops are NOT measured: over the
+tunnel-remote chip each dispatch costs ~1-3 ms of launch latency, which
+buried the kernel in earlier captures (r3 logged 700k env-steps/s @1024
+for what is really a 2.4M env-steps/s program — see
+HW_r04/probe_gen_perf_ant.log).
 
 Usage: python tools/bench_v2_generalized.py [batch] [steps] [env]
 Reports env-steps/s for the full env.step (n_frames physics steps + obs +
-reward) and for the bare physics pipeline.step.
+reward) on the XLA path and the fused-Pallas-kernel path, plus the bare
+tiled-space kernel chain, and the fused-vs-XLA numerics distribution.
 """
 
 import sys
@@ -10,6 +19,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as onp
 
 from brax_tpu.v2.generalized import pipeline
 
@@ -26,167 +36,122 @@ def _make_env(name: str):
     return cls(backend="generalized")
 
 
+def _timed_rollout(label, fn, s0, batch, steps):
+    """jit-compiles fn, runs it twice, reports the second (steady) run."""
+    t0 = time.perf_counter()
+    out = jax.block_until_ready(fn(s0))
+    print(f"{label} jit+run: {time.perf_counter()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(s0))
+    dt = time.perf_counter() - t0
+    sps = batch * steps / dt
+    print(f"{label}: {sps:,.0f} env-steps/s  ({dt/steps*1e3:.2f} ms/step)",
+          flush=True)
+    return sps, out
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     env_name = sys.argv[3] if len(sys.argv) > 3 else "ant"
+
+    from brax_tpu.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     env = _make_env(env_name)
     sysm = env.sys
 
     rng = jax.random.PRNGKey(0)
     keys = jax.random.split(rng, batch)
-    reset = jax.jit(jax.vmap(env.reset))
     t0 = time.perf_counter()
-    state = jax.block_until_ready(reset(keys))
+    state = jax.block_until_ready(jax.jit(jax.vmap(env.reset))(keys))
     print(f"reset jit+run: {time.perf_counter()-t0:.1f}s", flush=True)
-
     act = jnp.zeros((batch, env.action_size))
 
-    # full env.step.  Warm up twice: a step-produced state can differ from the
-    # reset-produced one in weak-type metadata, and the second compile must not
-    # land inside the timing loop.
-    step = jax.jit(jax.vmap(env.step))
-    t0 = time.perf_counter()
-    state2 = jax.block_until_ready(step(state, act))
-    state2 = jax.block_until_ready(step(state2, act))
-    print(f"env.step jit: {time.perf_counter()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    s = state2
-    for _ in range(steps):
-        s = step(s, act)
-    jax.block_until_ready(s)
-    dt = time.perf_counter() - t0
-    env_sps = batch * steps / dt
-    print(f"env.step:      {env_sps:,.0f} env-steps/s  ({dt/steps*1e3:.2f} ms/step)")
+    def rollout(step_one):
+        @jax.jit
+        def run(s0):
+            def body(c, _):
+                return step_one(c), None
 
-    # bare physics step
-    pstep = jax.jit(jax.vmap(pipeline.step, in_axes=(None, 0, 0)))
-    ps = state.pipeline_state
-    t0 = time.perf_counter()
-    ps2 = jax.block_until_ready(pstep(sysm, ps, act))
-    ps2 = jax.block_until_ready(pstep(sysm, ps2, act))
-    print(f"pipeline.step jit: {time.perf_counter()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    cur = ps2
-    for _ in range(steps):
-        cur = pstep(sysm, cur, act)
-    jax.block_until_ready(cur)
-    dt = time.perf_counter() - t0
-    print(
-        f"pipeline.step: {batch*steps/dt:,.0f} phys-steps/s  ({dt/steps*1e3:.2f} ms/step)"
+            return jax.lax.scan(body, s0, (), steps)[0]
+
+        return run
+
+    # XLA env.step path
+    env_sps, _ = _timed_rollout(
+        "env.step (XLA, scanned)",
+        rollout(lambda s: jax.vmap(env.step)(s, act)),
+        state, batch, steps,
     )
 
-    # fused Pallas kernel: full env.step with kernel dispatch + bare kernel
-    fused_sps = 0.0
+    # fused Pallas kernel paths
+    fused_sps = tiled_sps = 0.0
     from brax_tpu.v2.generalized import kernels as gk
 
     if gk.supported(sysm) and batch % gk.LANE == 0:
         try:
-            kstep = jax.jit(
-                gk.build_pipeline_step_fn(sysm, env._n_frames, batch)
+            gk.enable(True)
+            fused_sps, _ = _timed_rollout(
+                "env.step (fused, scanned)",
+                rollout(lambda s: jax.vmap(env.step)(s, act)),
+                state, batch, steps,
             )
+            gk.enable(False)
+
+            # numerics: one env-step, fused vs XLA, per-env distribution.
+            # The max alone is misleading: contact-solve conditioning
+            # amplifies platform round-off, and the XLA:TPU path itself
+            # diverges from XLA:CPU by the same magnitude (triangle
+            # measurement: tools/diag_gen_kernel_hw.py, HW_r04)
             ps0 = state.pipeline_state
-            t0 = time.perf_counter()
-            kcur = jax.block_until_ready(kstep(ps0, act))
-            print(f"fused kernel jit: {time.perf_counter()-t0:.1f}s", flush=True)
-            # on-chip parity vs the XLA pipeline (one env-step)
+            kstep = jax.jit(gk.build_pipeline_step_fn(sysm, env._n_frames, batch))
+            kout = jax.block_until_ready(kstep(ps0, act))
             ref = jax.block_until_ready(
                 jax.jit(jax.vmap(lambda s, a: _scan_frames(sysm, s, a, env._n_frames)))(
                     ps0, act
                 )
             )
-            dq = float(jnp.max(jnp.abs(kcur.q - ref.q)))
-            dqd = float(jnp.max(jnp.abs(kcur.qd - ref.qd)))
-            print(f"fused-vs-XLA parity (1 env-step): |dq|={dq:.2e} |dqd|={dqd:.2e}")
-            # second warm-up on the step-produced state: its pytree metadata
-            # differs from the reset-produced one, so the first loop call
-            # would otherwise hide a full recompile inside the timing
-            kcur = jax.block_until_ready(kstep(kcur, act))
-            t0 = time.perf_counter()
-            for _ in range(steps):
-                kcur = kstep(kcur, act)
-            jax.block_until_ready(kcur)
-            dt = time.perf_counter() - t0
-            print(
-                f"fused kernel:  {batch*steps/dt:,.0f} env-steps/s"
-                f"  ({dt/steps*1e3:.2f} ms/step)"
-            )
+            for name in ("q", "qd"):
+                d = onp.abs(
+                    onp.asarray(getattr(kout, name) - getattr(ref, name))
+                ).max(axis=1)
+                print(
+                    f"fused-vs-XLA |d{name}| per-env: med {onp.median(d):.2e} "
+                    f"p99 {onp.percentile(d, 99):.2e} max {d.max():.2e}",
+                    flush=True,
+                )
 
-            gk.enable(True)
-            estep = jax.jit(jax.vmap(env.step))
-            t0 = time.perf_counter()
-            s2 = jax.block_until_ready(estep(state, act))
-            s2 = jax.block_until_ready(estep(s2, act))
-            print(f"fused env.step jit: {time.perf_counter()-t0:.1f}s", flush=True)
-            t0 = time.perf_counter()
-            cur = s2
-            for _ in range(steps):
-                cur = estep(cur, act)
-            jax.block_until_ready(cur)
-            dt = time.perf_counter() - t0
-            fused_sps = batch * steps / dt
-            print(
-                f"fused env.step: {fused_sps:,.0f} env-steps/s"
-                f"  ({dt/steps*1e3:.2f} ms/step)"
-            )
-
-            # scanned rollout: `steps` chained env.steps inside ONE jitted
-            # program — the trainer-shaped measurement (rollouts run under
-            # lax.scan there), free of per-call host dispatch latency
-            @jax.jit
-            def rollout(s0):
-                def body(c, _):
-                    return jax.vmap(env.step)(c, act), None
-
-                return jax.lax.scan(body, s0, (), steps)[0]
-
-            t0 = time.perf_counter()
-            jax.block_until_ready(rollout(s2))
-            print(f"fused rollout jit: {time.perf_counter()-t0:.1f}s", flush=True)
-            t0 = time.perf_counter()
-            jax.block_until_ready(rollout(s2))
-            dt = time.perf_counter() - t0
-            fused_scan_sps = batch * steps / dt
-            print(
-                f"fused env.step (scanned): {fused_scan_sps:,.0f} env-steps/s"
-                f"  ({dt/steps*1e3:.2f} ms/step)"
-            )
-            fused_sps = max(fused_sps, fused_scan_sps)
-            gk.enable(False)
-
-            # sublane-tile sweep: larger tiles trade VMEM for ILP in the
-            # kernel's serial NS/FISTA chains (see build_pipeline_step_fn)
+            # bare tiled-space kernel chain: physics only, no relayout
             n_rows = batch // gk.LANE
-            for sub in (16, 32):
-                if n_rows % sub:
-                    continue
-                try:
-                    kstep_s = jax.jit(
-                        gk.build_pipeline_step_fn(
-                            sysm, env._n_frames, batch, sub=sub
-                        )
-                    )
-                    t0 = time.perf_counter()
-                    c = jax.block_until_ready(kstep_s(ps0, act))
-                    print(f"sub={sub} jit: {time.perf_counter()-t0:.1f}s", flush=True)
-                    c = jax.block_until_ready(kstep_s(c, act))
-                    t0 = time.perf_counter()
-                    for _ in range(steps):
-                        c = kstep_s(c, act)
-                    jax.block_until_ready(c)
-                    dt = time.perf_counter() - t0
-                    print(
-                        f"sub={sub} fused kernel: {batch*steps/dt:,.0f}"
-                        f" env-steps/s  ({dt/steps*1e3:.2f} ms/step)"
-                    )
-                except Exception as e:  # noqa: BLE001 - VMEM overflow etc
-                    print(f"sub={sub} failed: {type(e).__name__}: {e}")
+            step_t, _schema = gk.build_tiled_chain_fn(sysm, env._n_frames, batch)
+
+            def to_tile(x):
+                lead = tuple(range(1, x.ndim))
+                return jnp.transpose(x, lead + (0,)).reshape(
+                    x.shape[1:] + (n_rows, gk.LANE)
+                )
+
+            carry0 = (to_tile(ps0.q), to_tile(ps0.qd), to_tile(ps0.mass_mx_inv))
+            act_t = to_tile(act)
+
+            @jax.jit
+            def run_t(c0):
+                def body(c, _):
+                    return step_t(c, act_t)[0], None
+
+                return jax.lax.scan(body, c0, (), steps)[0]
+
+            tiled_sps, _ = _timed_rollout(
+                "kernel chain (tiled)", run_t, carry0, batch, steps
+            )
         except Exception as e:  # noqa: BLE001 - report, keep the XLA numbers
             print(f"fused kernel failed: {type(e).__name__}: {e}")
     print(
         f'RESULT {{"env": "{env_name}", "env_steps_per_sec": {env_sps:.0f}, '
-        f'"fused_env_steps_per_sec": {fused_sps:.0f}, "batch": {batch}}}'
+        f'"fused_env_steps_per_sec": {fused_sps:.0f}, '
+        f'"tiled_kernel_steps_per_sec": {tiled_sps:.0f}, "batch": {batch}}}'
     )
 
 

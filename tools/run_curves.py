@@ -92,6 +92,11 @@ def main():
     p.add_argument("--min_replay_size", type=int, default=None)
     args = p.parse_args()
 
+    if args.impl == "ours":
+        from brax_tpu.compilation_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+
     if args.agent == "ppo":
         cfg = dict(PPO_COMMON, **PPO_CONFIGS[args.env])
     else:

@@ -11,8 +11,13 @@ Prints one RESULT json line.
 """
 
 import json
+import logging
 import sys
 import time
+
+# surface brax_tpu.aot hit/miss/fallback lines in the capture logs
+logging.getLogger("brax_tpu.aot").setLevel(logging.INFO)
+logging.basicConfig(level=logging.WARNING)
 
 sys.path.insert(0, "/root/repo")
 
@@ -23,6 +28,11 @@ def main():
     threshold = float(sys.argv[1]) if len(sys.argv) > 1 else 6000.0
     num_timesteps = int(sys.argv[2]) if len(sys.argv) > 2 else 20_000_000
 
+    from brax_tpu.compilation_cache import enable_compilation_cache
+
+    cache = enable_compilation_cache()
+    print(f"compilation cache: {cache}", flush=True)
+
     from brax_tpu import envs
     from brax_tpu.braxlines.defaults import DEFAULT_PPO_PARAMS
     from brax_tpu.training.agents.ppo import train as ppo
@@ -30,6 +40,9 @@ def main():
     cfg = dict(DEFAULT_PPO_PARAMS["ant"])
     cfg["num_timesteps"] = num_timesteps
     cfg["num_evals"] = 40  # ~every 0.5M steps: tight solve-time resolution
+    # warm restarts skip Python tracing (StableHLO AOT cache) on top of the
+    # persistent XLA compile cache — production cold-start configuration
+    cfg["aot_cache"] = True
 
     print(f"ppo ant to reward>={threshold} on {jax.devices()}", flush=True)
     t0 = time.time()
