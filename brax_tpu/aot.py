@@ -73,6 +73,13 @@ def fingerprint_pytree(tree: Any) -> str:
     h = hashlib.sha256()
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     h.update(repr(treedef).encode())
+    # one batched device_get: per-leaf onp.asarray costs a blocking
+    # device->host RPC each, which over a tunneled TPU turns ~30 leaves
+    # into ~15s of serial round-trips
+    try:
+        leaves = jax.device_get(leaves)
+    except Exception:  # noqa: BLE001 - non-array leaves: hash per-leaf below
+        pass
     for leaf in leaves:
         try:
             a = onp.asarray(leaf)

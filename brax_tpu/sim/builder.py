@@ -26,7 +26,7 @@ from brax_tpu.sim.integrator import Integrator
 from brax_tpu.sim.system import System
 from brax_tpu.sim.types import HArray
 
-import jax.numpy as jnp
+import jax
 
 
 # ---------------------------------------------------------------------------
@@ -56,8 +56,12 @@ def _np_rotate_rows(mat, quat) -> onp.ndarray:
     return onp.stack([_np_rotate(row, quat) for row in onp.asarray(mat, dtype=onp.float64)])
 
 
-def _f32(x) -> jnp.ndarray:
-    return jnp.asarray(onp.asarray(x, dtype=onp.float64), dtype=jnp.float32)
+def _f32(x) -> onp.ndarray:
+    # host-side float32: leaves stay numpy through the whole build and move
+    # to the device in ONE batched jax.device_put at the end of build() —
+    # eager per-leaf jnp.asarray costs a blocking RPC per leaf on a
+    # tunnel-remote TPU (~5s of the cold start for ant's 31 leaves)
+    return onp.asarray(onp.asarray(x, dtype=onp.float64), dtype=onp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +152,8 @@ def build(config: cfg.Config) -> Tuple[System, BuildArtifacts]:
         joint_order=joint_order,
         action_size=num_joint_dof + num_forces_dof,
     )
+    # single batched transfer of every leaf (see _f32)
+    sys = jax.device_put(sys)
     return sys, art
 
 

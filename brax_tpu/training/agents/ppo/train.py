@@ -91,6 +91,17 @@ def train(
     assert batch_size * num_minibatches % num_envs == 0
     xt = time.time()
 
+    # cold-start decomposition at INFO level (logger "brax_tpu.training.ppo"):
+    # production restarts care where the first minutes go — tracing, compile
+    # cache loads, or tunnel transfers — and this is the only seam that sees
+    # all of them
+    import logging
+
+    _log = logging.getLogger("brax_tpu.training.ppo")
+
+    def _mark(label):
+        _log.info("startup +%.1fs: %s", time.time() - xt, label)
+
     # aot_cache=True: the three jitted programs (reset, eval unroll,
     # training epoch) round-trip the on-disk StableHLO cache (brax_tpu.aot),
     # so warm restarts skip minutes of Python tracing of the fused-kernel
@@ -146,15 +157,19 @@ def train(
     # v2 (generalized-coordinate) envs use their own wrapper stack; same
     # trainer otherwise (reference v2/training/agents/ppo/train.py:105-110)
     _wrap = wrappers.wrap_for_training_any
+    _mark("fingerprint + kernel setup done")
     env = _wrap(
         environment, episode_length=episode_length, action_repeat=action_repeat
     )
+    _mark("env wrapped")
 
     normalize = lambda x, y: x
     if normalize_observations:
         normalize = running_statistics.normalize
+    _obs_size, _act_size = env.observation_size, env.action_size
+    _mark("obs/action sizes resolved")
     ppo_network = network_factory(
-        env.observation_size, env.action_size, preprocess_observations_fn=normalize
+        _obs_size, _act_size, preprocess_observations_fn=normalize
     )
     make_policy = ppo_networks.make_inference_fn(ppo_network)
 
@@ -329,22 +344,34 @@ def train(
     key_policy, key_value = jax.random.split(global_key)
     del global_key
 
-    init_params = ppo_losses.PPONetworkParams(
-        policy=ppo_network.policy_network.init(key_policy),
-        value=ppo_network.value_network.init(key_value),
-    )
-    training_state = TrainingState(
-        optimizer_state=optimizer.init(init_params),
-        params=init_params,
-        normalizer_params=running_statistics.init_state(
-            running_statistics.ArraySpec((env.observation_size,), jnp.float32)
-        ),
-        env_steps=jnp.zeros(()),
-        extra_params=extra_params,
-        extra_optimizer_state=(
-            extra_optimizer.init(extra_params) if extra_loss_fn is not None else None
-        ),
-    )
+    _mark("initializing network params")
+
+    # ONE jitted program for the whole initial TrainingState: eager flax /
+    # optax init dispatches hundreds of tiny ops, each a blocking RPC over a
+    # tunneled TPU (~15s measured); a single compiled program is one call
+    # (and a persistent-compile-cache hit on warm starts)
+    def _init_training_state(key_policy, key_value):
+        init_params = ppo_losses.PPONetworkParams(
+            policy=ppo_network.policy_network.init(key_policy),
+            value=ppo_network.value_network.init(key_value),
+        )
+        return TrainingState(
+            optimizer_state=optimizer.init(init_params),
+            params=init_params,
+            normalizer_params=running_statistics.init_state(
+                running_statistics.ArraySpec((env.observation_size,), jnp.float32)
+            ),
+            env_steps=jnp.zeros(()),
+            extra_params=extra_params,
+            extra_optimizer_state=(
+                extra_optimizer.init(extra_params)
+                if extra_loss_fn is not None
+                else None
+            ),
+        )
+
+    training_state = jax.jit(_init_training_state)(key_policy, key_value)
+    _mark("network params initialized")
     # full-state checkpointing (optimizer + normalizer + step counter), an
     # upgrade over the reference's params-only pickles (io/model.py:23-32):
     # training resumes exactly where it stopped
@@ -374,6 +401,7 @@ def train(
             )
 
     training_state = mesh_utils.put_replicated(training_state, mesh)
+    _mark("params initialized + replicated")
 
     key_envs = jax.random.split(key_env, num_envs)
     if aot_cache:
@@ -395,7 +423,10 @@ def train(
         reset_fn = jax.jit(
             env.reset, out_shardings=mesh_utils.env_sharded(mesh)
         )
+    _mark("reset program ready")
     env_state = reset_fn(mesh_utils.put_env_sharded(key_envs, mesh))
+    jax.block_until_ready(env_state.obs)
+    _mark("reset executed")
 
     if aot_cache:
         # swap the donating jit for the AOT-cached epoch program now that a
@@ -408,6 +439,7 @@ def train(
             f"ppo_epoch_{aot_fp}",
             (training_state, env_state, _example_keys),
         )
+        _mark("training epoch program ready")
 
     if not eval_env:
         eval_env = env
@@ -426,6 +458,7 @@ def train(
         aot_key=f"ppo_{aot_fp}" if aot_cache else None,
     )
 
+    _mark("evaluator ready")
     metrics = {}
     if jax.process_index() == 0 and num_evals > 1:
         metrics = evaluator.run_evaluation(
@@ -433,6 +466,7 @@ def train(
             training_metrics={},
         )
         progress_fn(0, metrics)
+        _mark("first eval done")
 
     current_step = 0
     for it in range(num_evals_after_init):

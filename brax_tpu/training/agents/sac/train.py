@@ -84,6 +84,7 @@ def train(
     eval_env: Optional[envs.Env] = None,
     mesh=None,
     use_fused_kernel=None,
+    aot_cache: bool = False,
 ):
     """SAC training; returns (make_policy, params, metrics)."""
     # fused Pallas physics for rollouts (see ppo.train): auto-on for TPU
@@ -102,6 +103,26 @@ def train(
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
     assert num_envs % device_count == 0
+
+    # aot_cache=True: the four jitted programs (reset, prefill, training
+    # epoch, eval unroll) round-trip the on-disk StableHLO cache
+    # (brax_tpu.aot) so warm restarts skip minutes of fused-kernel tracing;
+    # the cached programs drop buffer donation (see ppo.train aot notes).
+    aot_fp = None
+    if aot_cache:
+        from brax_tpu import aot
+
+        aot_fp = aot.fingerprint(
+            "sac",
+            num_timesteps, episode_length, action_repeat, num_envs,
+            num_eval_envs, learning_rate, discounting, batch_size,
+            num_evals, normalize_observations, reward_scaling, tau,
+            min_replay_size, max_replay_size, grad_updates_per_step,
+            deterministic_eval, use_fused_kernel,
+            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            type(environment).__module__ + "." + type(environment).__qualname__,
+            aot.fingerprint_pytree(getattr(environment, "sys", None)),
+        )
 
     if min_replay_size >= num_timesteps:
         raise ValueError("no training would happen: min_replay_size >= num_timesteps")
@@ -293,14 +314,13 @@ def train(
         )
         return training_state, env_state, replay_buffers.unshard_view(buffer_state)
 
-    prefill_replay_buffer = jax.jit(
-        mesh_utils.shard_map(
-            prefill_replay_buffer,
-            mesh,
-            in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(), P(AXIS), P(AXIS)),
-        )
+    prefill_replay_buffer_sm = mesh_utils.shard_map(
+        prefill_replay_buffer,
+        mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(AXIS), P(AXIS)),
     )
+    prefill_replay_buffer = jax.jit(prefill_replay_buffer_sm)
 
     def training_epoch(training_state, env_state, buffer_state, key):
         key = jnp.squeeze(key, axis=0)
@@ -322,15 +342,13 @@ def train(
         metrics = jax.lax.pmean(metrics, axis_name=AXIS)
         return training_state, env_state, replay_buffers.unshard_view(buffer_state), metrics
 
-    training_epoch = jax.jit(
-        mesh_utils.shard_map(
-            training_epoch,
-            mesh,
-            in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
-            out_specs=(P(), P(AXIS), P(AXIS), P()),
-        ),
-        donate_argnums=(0, 1, 2),
+    training_epoch_sm = mesh_utils.shard_map(
+        training_epoch,
+        mesh,
+        in_specs=(P(), P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(P(), P(AXIS), P(AXIS), P()),
     )
+    training_epoch = jax.jit(training_epoch_sm, donate_argnums=(0, 1, 2))
 
     training_walltime = 0.0
 
@@ -361,23 +379,29 @@ def train(
     # learner state (replicated)
     key_policy, key_q = jax.random.split(global_key)
     del global_key
-    log_alpha = jnp.asarray(0.0, dtype=jnp.float32)
-    policy_params = sac_network.policy_network.init(key_policy)
-    q_params = sac_network.q_network.init(key_q)
-    training_state = TrainingState(
-        policy_optimizer_state=policy_optimizer.init(policy_params),
-        policy_params=policy_params,
-        q_optimizer_state=q_optimizer.init(q_params),
-        q_params=q_params,
-        target_q_params=q_params,
-        gradient_steps=jnp.zeros(()),
-        env_steps=jnp.zeros(()),
-        alpha_optimizer_state=alpha_optimizer.init(log_alpha),
-        alpha_params=log_alpha,
-        normalizer_params=running_statistics.init_state(
-            running_statistics.ArraySpec((obs_size,), jnp.float32)
-        ),
-    )
+
+    # one jitted program for the whole initial TrainingState (see ppo.train:
+    # eager init is hundreds of per-op RPCs over a tunneled TPU)
+    def _init_training_state(key_policy, key_q):
+        log_alpha = jnp.asarray(0.0, dtype=jnp.float32)
+        policy_params = sac_network.policy_network.init(key_policy)
+        q_params = sac_network.q_network.init(key_q)
+        return TrainingState(
+            policy_optimizer_state=policy_optimizer.init(policy_params),
+            policy_params=policy_params,
+            q_optimizer_state=q_optimizer.init(q_params),
+            q_params=q_params,
+            target_q_params=q_params,
+            gradient_steps=jnp.zeros(()),
+            env_steps=jnp.zeros(()),
+            alpha_optimizer_state=alpha_optimizer.init(log_alpha),
+            alpha_params=log_alpha,
+            normalizer_params=running_statistics.init_state(
+                running_statistics.ArraySpec((obs_size,), jnp.float32)
+            ),
+        )
+
+    training_state = jax.jit(_init_training_state)(key_policy, key_q)
     # full-state checkpointing (both optimizers + alpha + normalizer + step
     # counters) mirroring ppo/train.py:320-346; the replay buffer is NOT
     # checkpointed (it is shard-local and max_replay_size-large) — a resumed
@@ -409,11 +433,44 @@ def train(
 
     local_key, rb_key, env_key, eval_key = jax.random.split(local_key, 4)
     env_keys = jax.random.split(env_key, num_envs)
-    reset_fn = jax.jit(env.reset, out_shardings=mesh_utils.env_sharded(mesh))
+    if aot_cache:
+        from brax_tpu import aot
+
+        _env_sharding = mesh_utils.env_sharded(mesh)
+
+        def _reset_sharded(keys):
+            return jax.lax.with_sharding_constraint(
+                env.reset(keys), _env_sharding
+            )
+
+        reset_fn, _ = aot.cached_call(
+            _reset_sharded,
+            f"sac_reset_{aot_fp}",
+            (mesh_utils.put_env_sharded(env_keys, mesh),),
+        )
+    else:
+        reset_fn = jax.jit(
+            env.reset, out_shardings=mesh_utils.env_sharded(mesh)
+        )
     env_state = reset_fn(mesh_utils.put_env_sharded(env_keys, mesh))
     buffer_state = mesh_utils.put_env_sharded(
         replay_buffers.init_sharded(replay_buffer, rb_key, device_count), mesh
     )
+
+    if aot_cache:
+        _example_keys = mesh_utils.put_env_sharded(
+            jax.random.split(jax.random.PRNGKey(0), device_count), mesh
+        )
+        prefill_replay_buffer, _ = aot.cached_call(
+            prefill_replay_buffer_sm,
+            f"sac_prefill_{aot_fp}",
+            (training_state, env_state, buffer_state, _example_keys),
+        )
+        training_epoch, _ = aot.cached_call(
+            training_epoch_sm,
+            f"sac_epoch_{aot_fp}",
+            (training_state, env_state, buffer_state, _example_keys),
+        )
 
     if not eval_env:
         eval_env = env
@@ -428,6 +485,7 @@ def train(
         episode_length=episode_length,
         action_repeat=action_repeat,
         key=eval_key,
+        aot_key=f"sac_{aot_fp}" if aot_cache else None,
     )
 
     metrics = {}

@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aot_cache", action="store_true", default=False,
                    help="cache traced+lowered programs (StableHLO) on disk: "
                         "warm restarts skip minutes of fused-kernel tracing "
-                        "(PPO only for now; see brax_tpu/aot.py)")
+                        "(PPO and SAC; see brax_tpu/aot.py)")
     p.add_argument("--no_normalize_observations", dest="normalize_observations",
                    action="store_false")
     p.add_argument("--num_videos", type=int, default=1)
@@ -131,6 +131,7 @@ def main(argv=None):
                 grad_updates_per_step=args.grad_updates_per_step,
                 episode_length=args.episode_length,
                 progress_fn=writer.write_scalars,
+                aot_cache=args.aot_cache,
             )
         elif args.learner == "es":
             make_policy, params, _ = es.train(

@@ -103,3 +103,35 @@ def test_ppo_fast_env_aot_cache(tmp_path, monkeypatch):
             environment=envs.create("fast", auto_reset=False), **kwargs
         )
         assert np.isfinite(metrics["eval/episode_reward"])
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_sac_fast_env_aot_cache(tmp_path, monkeypatch):
+    """SAC with aot_cache=True: cold run exports reset/prefill/epoch/eval
+    programs, warm run deserializes them; both complete with finite eval
+    reward (or fall back transparently)."""
+    monkeypatch.setenv("BRAX_TPU_AOT_DIR", str(tmp_path))
+    from brax_tpu import envs
+    from brax_tpu.training.agents.sac import train as sac
+
+    kwargs = dict(
+        num_timesteps=1024,
+        episode_length=64,
+        num_envs=8,
+        batch_size=16,
+        min_replay_size=64,
+        max_replay_size=1024,
+        grad_updates_per_step=1,
+        learning_rate=3e-4,
+        discounting=0.95,
+        num_evals=2,
+        num_eval_envs=8,
+        normalize_observations=True,
+        seed=0,
+        aot_cache=True,
+    )
+    for _ in range(2):
+        make_policy, params, metrics = sac.train(
+            environment=envs.create("fast", auto_reset=False), **kwargs
+        )
+        assert np.isfinite(metrics["eval/episode_reward"])

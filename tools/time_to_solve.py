@@ -15,9 +15,10 @@ import logging
 import sys
 import time
 
-# surface brax_tpu.aot hit/miss/fallback lines in the capture logs
-logging.getLogger("brax_tpu.aot").setLevel(logging.INFO)
+# surface brax_tpu.aot hit/miss/fallback + cold-start milestones in the logs
 logging.basicConfig(level=logging.WARNING)
+logging.getLogger("brax_tpu.aot").setLevel(logging.INFO)
+logging.getLogger("brax_tpu.training.ppo").setLevel(logging.INFO)
 
 sys.path.insert(0, "/root/repo")
 
@@ -54,6 +55,7 @@ def main():
         print(f"  step {step}: reward {r:.1f} ({events[-1][2]:.1f}s)", flush=True)
 
     env = envs._envs["ant"]()
+    print(f"env constructed ({time.time()-t0:.1f}s)", flush=True)
     ppo.train(environment=env, seed=0, progress_fn=progress, **cfg)
 
     # first eval event is pre-training (step 0) and its walltime is ~the jit
