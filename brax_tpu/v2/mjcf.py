@@ -762,9 +762,12 @@ class _Compiler:
             actuator_qdid=tuple(act_qdid),
             solver_iterations=self.iterations,
         )
-        sys = tree_map(jnp.asarray, sys)
+        # leaves stay numpy (jnp dtype rules applied host-side) until ONE
+        # batched device_put: eager per-leaf jnp.asarray costs a blocking
+        # RPC per leaf on a tunnel-remote TPU (see sim/builder._f32)
+        sys = tree_map(_np_canonical, sys)
         sys = _compute_invweight(sys)
-        return sys
+        return jax.device_put(sys)
 
     def _default_qpos(self, link_types: str, link_order) -> np.ndarray:
         """qpos0: identity joint coordinates; free joints at body world frame."""
@@ -920,6 +923,21 @@ class _Compiler:
                 geom_a, geom_b = tree_map(lambda *x: np.stack(x), *grp)
                 contacts.append((geom_a, geom_b))
         return contacts
+
+
+def _np_canonical(x) -> np.ndarray:
+    """np.asarray with jnp's default-dtype rules (x64 disabled): weak
+    float64/int64 inputs narrow to float32/int32 host-side, so the single
+    device_put in compile() is semantically identical to per-leaf
+    jnp.asarray."""
+    a = np.asarray(x)
+    if a.dtype == np.float64:
+        a = a.astype(np.float32)
+    elif a.dtype == np.int64:
+        a = a.astype(np.int32)
+    elif a.dtype == np.uint64:
+        a = a.astype(np.uint32)
+    return a
 
 
 def _compute_invweight(sys: System) -> System:
