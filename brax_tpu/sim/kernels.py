@@ -1214,13 +1214,20 @@ def _build_tile_step(sys: System, roll_substeps=None):
     return tile_step
 
 
-def build_step_fn(sys: System, num_envs: int, tile: int = 512):
+def build_step_fn(
+    sys: System, num_envs: int, tile: int = 512, sub: Optional[int] = None
+):
     """Batched physics step: (QP[N], act[N, na]) -> (QP[N], Info).
 
     Uses the fused Pallas kernel when `supported(sys)` (TPU), else falls back
     to the vmapped jnp step.  Info carries the accumulated contact impulses
     (contact .vel/.ang), actuator/joint fields zero (no current env reads
     them), and empty contact-point debug arrays.
+
+    `sub` overrides the sublane-tile height (default 8 = one (8, 128) vreg
+    per op).  Wider tiles process several vregs per op, which can fill VPU
+    dependency-stall slots in serial chains at the cost of VMEM working
+    set — see tools/bench_v1_sub_sweep.py.
     """
     if not supported(sys) or jax.default_backend() not in ("tpu", "axon"):
         def fallback(qp, act):
@@ -1244,7 +1251,10 @@ def build_step_fn(sys: System, num_envs: int, tile: int = 512):
     assert num_envs % LANE == 0
     n_rows = num_envs // LANE  # total sublane rows across the env axis
     # Mosaic blocks need sublane dim divisible by 8 or equal to the array's
-    sub = 8 if n_rows % 8 == 0 else n_rows
+    if sub is None:
+        sub = 8 if n_rows % 8 == 0 else n_rows
+    else:
+        assert n_rows % sub == 0, (n_rows, sub)
 
     def kernel(pos_ref, rot_ref, vel_ref, ang_ref, act_ref,
                opos_ref, orot_ref, ovel_ref, oang_ref, ocv_ref, oca_ref):
