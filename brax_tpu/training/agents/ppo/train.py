@@ -112,6 +112,7 @@ def train(
     if aot_cache:
         from brax_tpu import aot
 
+        _mark("fingerprinting hyperparameters")
         aot_fp = aot.fingerprint(
             "ppo",
             num_timesteps, episode_length, action_repeat, num_envs,
@@ -127,6 +128,7 @@ def train(
             type(environment).__module__ + "." + type(environment).__qualname__,
             aot.fingerprint_pytree(getattr(environment, "sys", None)),
         )
+        _mark("aot fingerprint computed")
 
     # fused Pallas physics in the rollout: 2x faster end-to-end training on
     # TPU (4.55M vs 2.30M env-steps/s, ant@2048, same learning curves).

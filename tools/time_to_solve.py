@@ -46,6 +46,21 @@ def main():
     cfg["aot_cache"] = True
 
     print(f"ppo ant to reward>={threshold} on {jax.devices()}", flush=True)
+
+    # chip-handoff barrier: when the previous tenant process just exited,
+    # the first BLOCKING device op waits for the server to tear its state
+    # down (measured 45-85 s back-to-back, ~0 s on an idle chip).  That is
+    # cluster scheduling, not framework cold start — time it separately and
+    # start the solve clock at device-ready.
+    import jax.numpy as jnp
+
+    t_dev = time.time()
+    # a full round-trip: compute on device AND fetch the result back — the
+    # fetch (device->host) path is the one that blocks on server handoff
+    assert float(jnp.ones(8).sum()) == 8.0
+    device_ready_s = time.time() - t_dev
+    print(f"device ready after {device_ready_s:.1f}s", flush=True)
+
     t0 = time.time()
     events = []
 
@@ -64,6 +79,7 @@ def main():
     solve = next((e for e in events if e[1] >= threshold), None)
     out = {
         "threshold": threshold,
+        "device_ready_s": round(device_ready_s, 1),
         "time_to_jit_s": round(jit_s, 1),
         "solved": solve is not None,
         "solve_steps": solve[0] if solve else None,
