@@ -56,6 +56,7 @@ def train(
     eval_env: Optional[envs.Env] = None,
     mesh=None,
     use_fused_kernel: Optional[bool] = None,
+    aot_cache: bool = False,
 ):
     """Direct trajectory optimization; returns (make_policy, params, metrics)."""
     import jax as _jax
@@ -77,6 +78,22 @@ def train(
     assert num_envs % device_count == 0
     if truncation_length is not None:
         assert truncation_length > 0
+
+    # aot_cache=True: epoch (forward + BPTT backward through the episode)
+    # + eval unroll round-trip the on-disk StableHLO cache (see ppo.train)
+    aot_fp = None
+    if aot_cache:
+        from brax_tpu import aot
+
+        aot_fp = aot.fingerprint(
+            "apg",
+            episode_length, action_repeat, num_envs, num_eval_envs,
+            learning_rate, truncation_length, max_gradient_norm, num_evals,
+            normalize_observations, deterministic_eval, use_fused_kernel,
+            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            type(environment).__module__ + "." + type(environment).__qualname__,
+            aot.fingerprint_pytree(getattr(environment, "sys", None)),
+        )
 
     num_evals_after_init = max(num_evals - 1, 1)
 
@@ -162,14 +179,13 @@ def train(
             metrics,
         )
 
-    training_epoch = jax.jit(
-        mesh_utils.shard_map(
-            training_epoch,
-            mesh,
-            in_specs=(P(), P(AXIS)),
-            out_specs=(P(), P()),
-        )
+    training_epoch_sm = mesh_utils.shard_map(
+        training_epoch,
+        mesh,
+        in_specs=(P(), P(AXIS)),
+        out_specs=(P(), P()),
     )
+    training_epoch = jax.jit(training_epoch_sm)
 
     training_walltime = 0.0
 
@@ -195,16 +211,32 @@ def train(
     local_key = jax.random.fold_in(local_key, jax.process_index())
     local_key, eval_key = jax.random.split(local_key)
 
-    policy_params = apg_network.policy_network.init(global_key)
+    # one jitted program for the initial TrainingState (see ppo.train)
+    def _init_training_state(global_key):
+        policy_params = apg_network.policy_network.init(global_key)
+        return TrainingState(
+            optimizer_state=optimizer.init(policy_params),
+            policy_params=policy_params,
+            normalizer_params=running_statistics.init_state(
+                running_statistics.ArraySpec((env.observation_size,), jnp.float32)
+            ),
+        )
+
+    training_state = jax.jit(_init_training_state)(global_key)
     del global_key
-    training_state = TrainingState(
-        optimizer_state=optimizer.init(policy_params),
-        policy_params=policy_params,
-        normalizer_params=running_statistics.init_state(
-            running_statistics.ArraySpec((env.observation_size,), jnp.float32)
-        ),
-    )
     training_state = mesh_utils.put_replicated(training_state, mesh)
+
+    if aot_cache:
+        from brax_tpu import aot
+
+        _example_keys = mesh_utils.put_env_sharded(
+            jax.random.split(jax.random.PRNGKey(0), device_count), mesh
+        )
+        training_epoch, _ = aot.cached_call(
+            training_epoch_sm,
+            f"apg_epoch_{aot_fp}",
+            (training_state, _example_keys),
+        )
 
     if not eval_env:
         eval_env = env
@@ -219,6 +251,7 @@ def train(
         episode_length=episode_length,
         action_repeat=action_repeat,
         key=eval_key,
+        aot_key=f"apg_{aot_fp}" if aot_cache else None,
     )
 
     metrics = {}

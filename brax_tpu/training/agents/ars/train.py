@@ -55,6 +55,7 @@ def train(
     eval_env: Optional[envs.Env] = None,
     mesh=None,
     use_fused_kernel=None,
+    aot_cache: bool = False,
 ):
     """ARS training; returns (make_policy, params, metrics)."""
     # fused Pallas physics for rollouts (see ppo.train): auto-on for TPU
@@ -78,6 +79,23 @@ def train(
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
     assert num_envs % device_count == 0
+
+    # aot_cache=True: epoch + eval unroll round-trip the on-disk StableHLO
+    # cache (brax_tpu.aot) — warm restarts skip tracing (see ppo.train)
+    aot_fp = None
+    if aot_cache:
+        from brax_tpu import aot
+
+        aot_fp = aot.fingerprint(
+            "ars",
+            num_timesteps, episode_length, action_repeat,
+            number_of_directions, top_directions, step_size, num_eval_envs,
+            exploration_noise_std, normalize_observations, num_evals,
+            reward_shift, use_fused_kernel,
+            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            type(environment).__module__ + "." + type(environment).__qualname__,
+            aot.fingerprint_pytree(getattr(environment, "sys", None)),
+        )
 
     num_env_steps_between_evals = num_timesteps // num_evals
     next_eval_step = num_timesteps - (num_evals - 1) * num_env_steps_between_evals
@@ -153,8 +171,7 @@ def train(
         )
         return params_with_noise, params_with_anti_noise, noise
 
-    @jax.jit
-    def training_epoch(training_state: TrainingState, key: PRNGKey):
+    def _training_epoch(training_state: TrainingState, key: PRNGKey):
         params = jax.tree_util.tree_map(
             lambda x: jnp.repeat(
                 jnp.expand_dims(x, axis=0), number_of_directions, axis=0
@@ -248,13 +265,29 @@ def train(
 
     key = jax.random.PRNGKey(seed)
     key, network_key, eval_key = jax.random.split(key, 3)
-    training_state = TrainingState(
-        normalizer_params=running_statistics.init_state(
-            running_statistics.ArraySpec((obs_size,), jnp.float32)
-        ),
-        policy_params=ars_network.init(network_key),
-        num_env_steps=jnp.zeros((), jnp.int32),
-    )
+
+    # one jitted program for the initial TrainingState (see ppo.train)
+    def _init_training_state(network_key):
+        return TrainingState(
+            normalizer_params=running_statistics.init_state(
+                running_statistics.ArraySpec((obs_size,), jnp.float32)
+            ),
+            policy_params=ars_network.init(network_key),
+            num_env_steps=jnp.zeros((), jnp.int32),
+        )
+
+    training_state = jax.jit(_init_training_state)(network_key)
+
+    if aot_cache:
+        from brax_tpu import aot
+
+        training_epoch, _ = aot.cached_call(
+            _training_epoch,
+            f"ars_epoch_{aot_fp}",
+            (training_state, jax.random.PRNGKey(0)),
+        )
+    else:
+        training_epoch = jax.jit(_training_epoch)
 
     if not eval_env:
         eval_env = env
@@ -269,6 +302,7 @@ def train(
         episode_length=episode_length,
         action_repeat=action_repeat,
         key=eval_key,
+        aot_key=f"ars_{aot_fp}" if aot_cache else None,
     )
 
     metrics = {}

@@ -79,6 +79,7 @@ def train(
     eval_env: Optional[envs.Env] = None,
     mesh=None,
     use_fused_kernel=None,
+    aot_cache: bool = False,
 ):
     """ES training; returns (make_policy, params, metrics)."""
     # fused Pallas physics for rollouts (see ppo.train): auto-on for TPU
@@ -101,6 +102,23 @@ def train(
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
     assert num_envs % device_count == 0
+
+    # aot_cache=True: epoch + eval unroll round-trip the on-disk StableHLO
+    # cache (brax_tpu.aot) — warm restarts skip tracing (see ppo.train)
+    aot_fp = None
+    if aot_cache:
+        from brax_tpu import aot
+
+        aot_fp = aot.fingerprint(
+            "es",
+            num_timesteps, episode_length, action_repeat, l2coeff,
+            population_size, learning_rate, fitness_shaping.name,
+            num_eval_envs, perturbation_std, normalize_observations,
+            num_evals, center_fitness, deterministic_eval, use_fused_kernel,
+            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            type(environment).__module__ + "." + type(environment).__qualname__,
+            aot.fingerprint_pytree(getattr(environment, "sys", None)),
+        )
 
     num_evals_after_init = max(num_evals - 1, 1)
     num_env_steps_between_evals = num_timesteps // num_evals_after_init
@@ -194,8 +212,7 @@ def train(
         delta = delta - l2coeff * params
         return -delta
 
-    @jax.jit
-    def training_epoch(training_state: TrainingState, key: PRNGKey):
+    def _training_epoch(training_state: TrainingState, key: PRNGKey):
         params = jax.tree_util.tree_map(
             lambda x: jnp.repeat(jnp.expand_dims(x, axis=0), population_size, axis=0),
             training_state.policy_params,
@@ -278,17 +295,32 @@ def train(
 
     key = jax.random.PRNGKey(seed)
     key, network_key, eval_key = jax.random.split(key, 3)
-    training_state = TrainingState(
-        normalizer_params=running_statistics.init_state(
-            running_statistics.ArraySpec((obs_size,), jnp.float32)
-        ),
-        optimizer_state=None,
-        policy_params=es_network.policy_network.init(network_key),
-        num_env_steps=jnp.zeros((), jnp.int32),
-    )
-    training_state = training_state.replace(
-        optimizer_state=optimizer.init(training_state.policy_params)
-    )
+
+    # one jitted program for the initial TrainingState (see ppo.train:
+    # eager init is hundreds of per-op RPCs over a tunneled TPU)
+    def _init_training_state(network_key):
+        policy_params = es_network.policy_network.init(network_key)
+        return TrainingState(
+            normalizer_params=running_statistics.init_state(
+                running_statistics.ArraySpec((obs_size,), jnp.float32)
+            ),
+            optimizer_state=optimizer.init(policy_params),
+            policy_params=policy_params,
+            num_env_steps=jnp.zeros((), jnp.int32),
+        )
+
+    training_state = jax.jit(_init_training_state)(network_key)
+
+    if aot_cache:
+        from brax_tpu import aot
+
+        training_epoch, _ = aot.cached_call(
+            _training_epoch,
+            f"es_epoch_{aot_fp}",
+            (training_state, jax.random.PRNGKey(0)),
+        )
+    else:
+        training_epoch = jax.jit(_training_epoch)
 
     if not eval_env:
         eval_env = env
@@ -303,6 +335,7 @@ def train(
         episode_length=episode_length,
         action_repeat=action_repeat,
         key=eval_key,
+        aot_key=f"es_{aot_fp}" if aot_cache else None,
     )
 
     metrics = {}

@@ -51,7 +51,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--aot_cache", action="store_true", default=False,
                    help="cache traced+lowered programs (StableHLO) on disk: "
                         "warm restarts skip minutes of fused-kernel tracing "
-                        "(PPO and SAC; see brax_tpu/aot.py)")
+                        "(all trainers; see brax_tpu/aot.py)")
     p.add_argument("--no_normalize_observations", dest="normalize_observations",
                    action="store_false")
     p.add_argument("--num_videos", type=int, default=1)
@@ -149,6 +149,7 @@ def main(argv=None):
                 seed=args.seed,
                 episode_length=args.episode_length,
                 progress_fn=writer.write_scalars,
+                aot_cache=args.aot_cache,
             )
         elif args.learner == "ppo":
             make_policy, params, _ = ppo.train(
@@ -186,6 +187,7 @@ def main(argv=None):
                 episode_length=args.episode_length,
                 truncation_length=args.truncation_length,
                 progress_fn=writer.write_scalars,
+                aot_cache=args.aot_cache,
             )
         elif args.learner == "ars":
             make_policy, params, _ = ars.train(
@@ -202,6 +204,7 @@ def main(argv=None):
                 reward_shift=args.reward_shift,
                 episode_length=args.episode_length,
                 progress_fn=writer.write_scalars,
+                aot_cache=args.aot_cache,
             )
 
     path = os.path.join(args.logdir, f"{args.env}_{args.learner}.pkl")

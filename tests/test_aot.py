@@ -135,3 +135,31 @@ def test_sac_fast_env_aot_cache(tmp_path, monkeypatch):
             environment=envs.create("fast", auto_reset=False), **kwargs
         )
         assert np.isfinite(metrics["eval/episode_reward"])
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_es_fast_env_aot_cache(tmp_path, monkeypatch):
+    """ES (representative of the population trainers — ARS and APG share
+    the same single-epoch-program integration) with aot_cache=True: cold
+    exports, warm deserializes, finite rewards both times."""
+    monkeypatch.setenv("BRAX_TPU_AOT_DIR", str(tmp_path))
+    from brax_tpu import envs
+    from brax_tpu.training.agents.es import train as es
+
+    kwargs = dict(
+        num_timesteps=256,
+        episode_length=16,
+        population_size=8,
+        learning_rate=1e-2,
+        perturbation_std=0.1,
+        num_evals=2,
+        num_eval_envs=8,
+        normalize_observations=True,
+        seed=0,
+        aot_cache=True,
+    )
+    for _ in range(2):
+        make_policy, params, metrics = es.train(
+            environment=envs.create("fast", auto_reset=False), **kwargs
+        )
+        assert np.isfinite(metrics["eval/episode_reward"])
