@@ -40,9 +40,16 @@ run_step gen_bench_1024 7200 python tools/bench_v2_generalized.py 1024 50
 run_step gen_bench_4096 7200 python tools/bench_v2_generalized.py 4096 50
 
 # 4. PPO-ant wall-clock-to-solve: cold (compiles, writes cache) then warm
-#    (BASELINE target <60 s; the warm number is the production cost)
+#    (BASELINE target <60 s; the warm number is the production cost).
+#    RESULT reports device_ready_s separately: the tunnel can block the
+#    first fetch for minutes while tearing down the previous tenant.
 run_step time_to_solve_cold 5400 python tools/time_to_solve.py
 run_step time_to_solve_warm 5400 python tools/time_to_solve.py
+
+# 4b. SAC-humanoid cold start (longest trace) + v1 kernel sublane sweep
+run_step sac_cold_start_cold 5400 python tools/sac_cold_start.py
+run_step sac_cold_start_warm 2700 python tools/sac_cold_start.py
+run_step v1_sub_sweep 2700 python tools/bench_v1_sub_sweep.py ant 4096 200
 
 # 5. hardware-gated tests must pass on the chip
 run_step hw_divergence_bound 3600 env BRAX_TPU_HW_TESTS=1 python -m pytest \
