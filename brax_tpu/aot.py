@@ -59,9 +59,34 @@ def fingerprint(*parts: Any) -> str:
     h.update(jax.default_backend().encode())
     try:
         h.update(jax.devices()[0].device_kind.encode())
+        # exported shard_map'ed programs (and (device_count, 2)-shaped key
+        # inputs) bake the topology in: the same config on a different
+        # slice size must be a different entry, not a call-time crash
+        h.update(str(jax.device_count()).encode())
     except Exception:  # noqa: BLE001
         pass
     return h.hexdigest()[:24]
+
+
+def fingerprint_callable(fn: Any) -> str:
+    """Content-identifying repr of a callable for fingerprint() parts.
+
+    functools.partial has no __qualname__, so the naive getattr collapses
+    every partial-wrapped factory to one constant and two runs differing
+    only in partial kwargs share a cache key.  Unwrap recursively: the
+    wrapped function's qualname plus the repr of bound args/kwargs."""
+    import functools
+
+    if fn is None:
+        return "None"
+    if isinstance(fn, functools.partial):
+        inner = fingerprint_callable(fn.func)
+        kw = ", ".join(f"{k}={v!r}" for k, v in sorted(fn.keywords.items()))
+        return f"partial({inner}, args={fn.args!r}, kwargs=({kw}))"
+    qn = getattr(fn, "__qualname__", None)
+    if qn is not None:
+        return f"{getattr(fn, '__module__', '?')}.{qn}"
+    return repr(fn)
 
 
 def fingerprint_pytree(tree: Any) -> str:
@@ -125,6 +150,14 @@ def cached_call(
     tree_path = os.path.join(d, f"{safe}.tree")
 
     flat_ex, in_treedef = jax.tree_util.tree_flatten(example_args)
+    # the hit-path guard must cover leaf avals, not just tree structure: a
+    # key collision with matching treedef but different shapes/dtypes would
+    # otherwise surface as a hard exported.call error mid-train instead of
+    # the documented fall-back-to-jit behavior
+    in_avals = [
+        (tuple(x.shape), str(x.dtype)) if hasattr(x, "shape") else repr(x)
+        for x in flat_ex
+    ]
     out_cell = {}
 
     def flat_fn(*leaves):
@@ -144,6 +177,10 @@ def cached_call(
             out_treedef = meta["out_treedef"]
             if repr(meta["in_treedef"]) != repr(in_treedef):
                 raise ValueError("input treedef changed; recompiling")
+            # entries written before avals were recorded (no 'in_avals'
+            # key) are treated as stale rather than trusted
+            if meta.get("in_avals") != in_avals:
+                raise ValueError("input avals changed; recompiling")
             status = "hit"
         except Exception as e:  # noqa: BLE001 - stale/corrupt entry
             log.warning("aot cache load failed for %s: %s", key, e)
@@ -163,7 +200,12 @@ def cached_call(
                 f.write(exported.serialize())
             with open(tree_path + ".tmp", "wb") as f:
                 pickle.dump(
-                    {"in_treedef": in_treedef, "out_treedef": out_treedef}, f
+                    {
+                        "in_treedef": in_treedef,
+                        "out_treedef": out_treedef,
+                        "in_avals": in_avals,
+                    },
+                    f,
                 )
             os.replace(exp_path + ".tmp", exp_path)
             os.replace(tree_path + ".tmp", tree_path)

@@ -1254,7 +1254,12 @@ def build_step_fn(
     if sub is None:
         sub = 8 if n_rows % 8 == 0 else n_rows
     else:
+        # mirror the default-selection rule: Mosaic needs the sublane tile
+        # to be a multiple of 8 or span the whole dim; e.g. sub=4 with
+        # n_rows=32 divides evenly but dies later with an opaque lowering
+        # error
         assert n_rows % sub == 0, (n_rows, sub)
+        assert sub % 8 == 0 or sub == n_rows, (n_rows, sub)
 
     def kernel(pos_ref, rot_ref, vel_ref, ang_ref, act_ref,
                opos_ref, orot_ref, ovel_ref, oang_ref, ocv_ref, oca_ref):

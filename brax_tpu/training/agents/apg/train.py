@@ -90,7 +90,7 @@ def train(
             episode_length, action_repeat, num_envs, num_eval_envs,
             learning_rate, truncation_length, max_gradient_norm, num_evals,
             normalize_observations, deterministic_eval, use_fused_kernel,
-            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            aot.fingerprint_callable(network_factory),
             type(environment).__module__ + "." + type(environment).__qualname__,
             aot.fingerprint_pytree(getattr(environment, "sys", None)),
         )

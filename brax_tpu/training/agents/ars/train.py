@@ -92,7 +92,7 @@ def train(
             number_of_directions, top_directions, step_size, num_eval_envs,
             exploration_noise_std, normalize_observations, num_evals,
             reward_shift, use_fused_kernel,
-            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            aot.fingerprint_callable(network_factory),
             type(environment).__module__ + "." + type(environment).__qualname__,
             aot.fingerprint_pytree(getattr(environment, "sys", None)),
         )

@@ -115,7 +115,7 @@ def train(
             population_size, learning_rate, fitness_shaping.name,
             num_eval_envs, perturbation_std, normalize_observations,
             num_evals, center_fitness, deterministic_eval, use_fused_kernel,
-            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            aot.fingerprint_callable(network_factory),
             type(environment).__module__ + "." + type(environment).__qualname__,
             aot.fingerprint_pytree(getattr(environment, "sys", None)),
         )

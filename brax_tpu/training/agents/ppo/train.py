@@ -121,9 +121,9 @@ def train(
             num_updates_per_batch, num_evals, normalize_observations,
             reward_scaling, clipping_epsilon, gae_lambda,
             deterministic_eval, normalize_advantage, use_fused_kernel,
-            getattr(network_factory, "__qualname__", repr(type(network_factory))),
-            getattr(extra_loss_fn, "__qualname__", None),
-            getattr(reward_relabel_fn, "__qualname__", None),
+            aot.fingerprint_callable(network_factory),
+            aot.fingerprint_callable(extra_loss_fn),
+            aot.fingerprint_callable(reward_relabel_fn),
             extra_learning_rate,
             type(environment).__module__ + "." + type(environment).__qualname__,
             aot.fingerprint_pytree(getattr(environment, "sys", None)),

@@ -119,7 +119,7 @@ def train(
             num_evals, normalize_observations, reward_scaling, tau,
             min_replay_size, max_replay_size, grad_updates_per_step,
             deterministic_eval, use_fused_kernel,
-            getattr(network_factory, "__qualname__", repr(type(network_factory))),
+            aot.fingerprint_callable(network_factory),
             type(environment).__module__ + "." + type(environment).__qualname__,
             aot.fingerprint_pytree(getattr(environment, "sys", None)),
         )

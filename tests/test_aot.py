@@ -57,6 +57,46 @@ def test_cached_call_treedef_change_recompiles(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(out["a"]), 2.0 * np.ones((4,)))
 
 
+def test_cached_call_aval_change_recompiles(tmp_path, monkeypatch):
+    """Same key + same treedef but different leaf shapes/dtypes must be a
+    miss (re-export), not a hard error at exported.call time."""
+    monkeypatch.setenv("BRAX_TPU_AOT_DIR", str(tmp_path))
+
+    def fn(x):
+        return x * 2.0
+
+    _, s1 = aot.cached_call(fn, "unit_avals", (jnp.ones((4,)),))
+    assert s1 == "miss"
+    call, s2 = aot.cached_call(fn, "unit_avals", (jnp.ones((8,)),))
+    assert s2 in ("miss", "fallback")
+    out = call(jnp.ones((8,)))
+    np.testing.assert_array_equal(np.asarray(out), 2.0 * np.ones((8,)))
+    # dtype-only change is likewise detected
+    call, s3 = aot.cached_call(fn, "unit_avals", (jnp.ones((8,), jnp.bfloat16),))
+    assert s3 in ("miss", "fallback")
+
+
+def test_fingerprint_callable_distinguishes_partials():
+    import functools
+
+    def factory(obs, act, *, width=32, activation="swish"):
+        return (obs, act, width, activation)
+
+    a = functools.partial(factory, width=64)
+    b = functools.partial(factory, width=128)
+    c = functools.partial(factory, activation="relu")
+    fps = {aot.fingerprint_callable(f) for f in (factory, a, b, c)}
+    assert len(fps) == 4  # no two collapse to one key
+    # nested partials unwrap recursively
+    d = functools.partial(a, activation="tanh")
+    assert aot.fingerprint_callable(d) != aot.fingerprint_callable(a)
+    # stable across calls, None passes through
+    assert aot.fingerprint_callable(a) == aot.fingerprint_callable(
+        functools.partial(factory, width=64)
+    )
+    assert aot.fingerprint_callable(None) == "None"
+
+
 def test_cached_call_disabled_env(tmp_path, monkeypatch):
     monkeypatch.setenv("BRAX_TPU_NO_CACHE", "1")
     call, status = aot.cached_call(lambda x: x + 1, "unit_disabled", (jnp.ones(3),))
