@@ -78,6 +78,29 @@ def _measure_vpu_peak_flops():
     return 2.0 * k * inner * n * nacc / dt
 
 
+def _measure_mxu_peak_flops():
+    """bf16 MXU peak (flops/s): dependent chain of 4096x4096 matmuls
+    (137 GF each; HBM traffic is ~8% of the time at peak, so this reads
+    ~90%+ of the true systolic-array roof)."""
+    n, k = 4096, 4
+
+    @jax.jit
+    def f(x):
+        w = x * 1e-3 + jnp.eye(n, dtype=jnp.bfloat16)
+
+        def body(_, y):
+            y = jax.lax.dot(
+                y, w, precision=None, preferred_element_type=jnp.bfloat16
+            )
+            return y * 0.5
+
+        return jax.lax.fori_loop(0, k, body, x)
+
+    x = jnp.full((n, n), 0.5, jnp.bfloat16)
+    dt = _slope_time(f, x)
+    return 2.0 * n * n * n * k / dt
+
+
 def _measure_hbm_bw():
     """Streaming HBM bandwidth (bytes/s): big-array FMA loop, read+write,
     timed by the same dependent-chain slope as the VPU peak."""
@@ -206,6 +229,51 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"roofline accounting failed: {e!r}", file=sys.stderr)
 
+    # --- end-to-end PPO training metric (VERDICT r4 item 1) --------------
+    # One full training step of the published ant solve recipe (2048 envs,
+    # batch 1024, 32 minibatches, 4 update epochs: braxlines/defaults.py),
+    # timed warm and steady-state (no evals, no host sync) — what a user's
+    # chip actually does during the <60 s solve.  Its own roofline: the
+    # SGD phase is 88% of the step and is bound first by activation HBM
+    # traffic then by the fixed ~75-110 us per-pallas_call cost that rules
+    # out kernel fusion at these minibatch sizes
+    # (HW_r05/{ppo_phase_decomp_2048,ppo_sgd_dissect2,probe_pallas_overhead}.log).
+    try:
+        e2e = _ppo_end_to_end()
+        mxu_peak = _measure_mxu_peak_flops()
+        # analytic MLP flops per env-step (XLA cost analysis undercounts
+        # scan bodies): rollout policy fwd once + 4 update epochs of
+        # (policy+value) fwd+bwd (~3x fwd) + value bootstrap, per sample
+        o, a, upd = 87, 8, 4
+        vf = 2 * (o * 256 + 4 * 256 * 256 + 256)   # value fwd flops/sample
+        pf = 2 * (o * 32 + 3 * 32 * 32 + 32 * 2 * a)  # policy fwd
+        mlp_flops = pf + upd * 3 * (vf + pf) + vf // 5
+        phys_flops = extras.get("flops_per_env_step", 146974)
+        t_sol = phys_flops / vpu_peak + mlp_flops / mxu_peak
+        e2e_sps = e2e["e2e_env_steps_per_s"]
+        e2e_extras = {
+            "metric": "ppo_ant_end_to_end_env_steps_per_s",
+            "value": round(e2e_sps),
+            "unit": "env-steps/s",
+            "mfu": round(e2e_sps * mlp_flops / mxu_peak, 4),
+            "mlp_flops_per_env_step": mlp_flops,
+            "mxu_peak_tflops": round(mxu_peak / 1e12, 1),
+            "pct_of_speed_of_light": round(100 * e2e_sps * t_sol, 1),
+            "phase_ms": e2e["phase_ms"],
+        }
+        print(
+            f"ppo e2e: {e2e_sps/1e6:.2f}M env-steps/s (ant@2048 solve "
+            f"recipe, steady-state); phases {e2e['phase_ms']}; "
+            f"MLP {mlp_flops/1e6:.2f}M flops/env-step on MXU "
+            f"{mxu_peak/1e12:.0f}T -> e2e MFU "
+            f"{e2e_extras['mfu']*100:.1f}%, {e2e_extras['pct_of_speed_of_light']:.0f}% of "
+            f"the sequential-phase SoL",
+            file=sys.stderr,
+        )
+        extras["ppo_e2e"] = e2e_extras
+    except Exception as e:  # noqa: BLE001
+        print(f"ppo e2e accounting failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -217,6 +285,117 @@ def main():
             }
         )
     )
+
+
+def _ppo_end_to_end():
+    """One ant-preset PPO training step (rollout + reshape + normalizer +
+    4x32-minibatch SGD), jitted whole, timed warm by chaining outputs."""
+    import functools as ft
+
+    import optax
+
+    from brax_tpu import envs
+    from brax_tpu.braxlines.defaults import DEFAULT_PPO_PARAMS
+    from brax_tpu.envs import wrappers
+    from brax_tpu.training import acting, gradients, running_statistics
+    from brax_tpu.training.agents.ppo import losses as ppo_losses
+    from brax_tpu.training.agents.ppo import networks as ppo_networks
+
+    cfg = dict(DEFAULT_PPO_PARAMS["ant"])
+    num_envs, unroll = 2048, cfg["unroll_length"]
+    bs, nmb, nupd = cfg["batch_size"], cfg["num_minibatches"], cfg["num_updates_per_batch"]
+
+    env = wrappers.wrap_for_training_any(
+        envs._envs["ant"](), episode_length=cfg["episode_length"], action_repeat=1
+    )
+    net = ppo_networks.make_ppo_networks(
+        env.observation_size, env.action_size,
+        preprocess_observations_fn=running_statistics.normalize,
+    )
+    make_policy = ppo_networks.make_inference_fn(net)
+    optimizer = optax.adam(learning_rate=cfg["learning_rate"])
+    loss_fn = ft.partial(
+        ppo_losses.compute_ppo_loss, ppo_network=net,
+        entropy_cost=cfg["entropy_cost"], discounting=cfg["discounting"],
+        reward_scaling=cfg["reward_scaling"], gae_lambda=0.95,
+        clipping_epsilon=0.3, normalize_advantage=True,
+    )
+    gupdate = gradients.gradient_update_fn(
+        loss_fn, optimizer, pmap_axis_name=None, has_aux=True
+    )
+    key = jax.random.PRNGKey(0)
+    params = ppo_losses.PPONetworkParams(
+        policy=jax.jit(net.policy_network.init)(key),
+        value=jax.jit(net.value_network.init)(key),
+    )
+    opt_state = jax.jit(optimizer.init)(params)
+    norm = running_statistics.init_state(
+        running_statistics.ArraySpec((env.observation_size,), jnp.float32)
+    )
+    state0 = jax.jit(env.reset)(jax.random.split(key, num_envs))
+
+    def mb_step(carry, data, norm):
+        o, p, k = carry
+        k, kl = jax.random.split(k)
+        (_, m), p, o = gupdate(p, norm, data, kl, optimizer_state=o)
+        return (o, p, k), m
+
+    def sgd_step(carry, unused, data, norm):
+        o, p, k = carry
+        k, kp, kg = jax.random.split(k, 3)
+
+        def conv(x):
+            x = jax.random.permutation(kp, x)
+            return jnp.reshape(x, (nmb, -1) + x.shape[1:])
+
+        sh = jax.tree_util.tree_map(conv, data)
+        (o, p, _), m = jax.lax.scan(
+            ft.partial(mb_step, norm=norm), (o, p, kg), sh, length=nmb
+        )
+        return (o, p, k), m
+
+    @jax.jit
+    def full(opt_state, params, norm, state, key):
+        ksgd, kroll = jax.random.split(key)
+        policy = make_policy((norm, params.policy))
+
+        def f(carry, unused):
+            s, k = carry
+            k, nk = jax.random.split(k)
+            ns, data = acting.generate_unroll(
+                env, s, policy, k, unroll, extra_fields=("truncation",)
+            )
+            return (ns, nk), data
+
+        (state, _), data = jax.lax.scan(
+            f, (state, kroll), (), length=bs * nmb // num_envs
+        )
+        data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
+        data = jax.tree_util.tree_map(
+            lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data
+        )
+        norm = running_statistics.update(norm, data.observation, pmap_axis_name=None)
+        (opt_state, params, _), _ = jax.lax.scan(
+            ft.partial(sgd_step, data=data, norm=norm),
+            (opt_state, params, ksgd), (), length=nupd,
+        )
+        return opt_state, params, norm, state
+
+    args = (opt_state, params, norm, state0, key)
+    out = full(*args)
+    out = full(*out, jax.random.fold_in(key, 1))
+    jax.block_until_ready(out[1])
+    t0 = time.perf_counter()
+    n = 4
+    for i in range(n):
+        out = full(*out, jax.random.fold_in(key, 2 + i))
+    jax.block_until_ready(out[1])
+    dt = (time.perf_counter() - t0) / n
+    per = bs * unroll * nmb
+    return {
+        "e2e_env_steps_per_s": per / dt,
+        "phase_ms": {"full_step": round(dt * 1e3, 2)},
+    }
 
 
 if __name__ == "__main__":

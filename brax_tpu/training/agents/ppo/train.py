@@ -135,14 +135,20 @@ def train(
     # None = auto-enable on TPU; numerics match the XLA path to float32
     # round-off.  Explicit False opts out.
     from brax_tpu.sim import kernels as sim_kernels
+    from brax_tpu.training import fused_mlp
     from brax_tpu.v2.generalized import kernels as g_kernels
 
     if use_fused_kernel is None:
         use_fused_kernel = jax.default_backend() == "tpu"
     _prev_kernel_enabled = sim_kernels.enabled()
     _prev_g_kernel_enabled = g_kernels.enabled()
+    _prev_mlp_enabled = fused_mlp.enabled()
     sim_kernels.enable(bool(use_fused_kernel))
     g_kernels.enable(bool(use_fused_kernel))
+    # fused_mlp (single-call MLP fwd/bwd) measured AT PARITY with XLA here
+    # (HW_r05/probe_fused_mlp.log: 171 vs 164 us fwd+bwd) because every
+    # pallas_call costs ~75-110 us fixed on this chip
+    # (HW_r05/probe_pallas_overhead.log) — not enabled by default
 
     mesh = mesh or mesh_utils.create_mesh()
     device_count = mesh.size
@@ -516,4 +522,5 @@ def train(
     mesh_utils.synchronize_hosts()
     sim_kernels.enable(_prev_kernel_enabled)
     g_kernels.enable(_prev_g_kernel_enabled)
+    fused_mlp.enable(_prev_mlp_enabled)
     return (make_policy, params, metrics)

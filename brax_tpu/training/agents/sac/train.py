@@ -95,8 +95,11 @@ def train(
 
     if use_fused_kernel is None:
         use_fused_kernel = _jax.default_backend() == "tpu"
+    from brax_tpu.training import fused_mlp as _fused_mlp
+
     _prev_kernel_enabled = _sim_kernels.enabled()
     _prev_g_kernel_enabled = _g_kernels.enabled()
+    _prev_mlp_enabled = _fused_mlp.enabled()
     _sim_kernels.enable(bool(use_fused_kernel))
     _g_kernels.enable(bool(use_fused_kernel))
 
@@ -547,4 +550,5 @@ def train(
     mesh_utils.synchronize_hosts()
     _sim_kernels.enable(_prev_kernel_enabled)
     _g_kernels.enable(_prev_g_kernel_enabled)
+    _fused_mlp.enable(_prev_mlp_enabled)
     return (make_policy, params, metrics)

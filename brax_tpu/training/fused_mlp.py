@@ -1,0 +1,339 @@
+"""Fused MLP forward/backward Pallas kernels for the SGD hot loop.
+
+Why this exists (VERDICT r4 weak item 1): the PPO/SAC update phase is the
+dominant end-to-end training cost — 88% of an ant-preset training step —
+and it is NOT compute-bound.  A minibatch fwd+bwd of the (256,)*5 value
+MLP + (32,)*4 policy MLP is ~45 us of bf16 matmul work but measured
+254 us/step (HW_r05/ppo_sgd_dissect2.log): every Dense layer round-trips
+its activations through HBM (~160 MB per minibatch step) and the ~60
+small XLA ops pay per-op overhead.
+
+The fix is the classic TPU one: collapse the whole chain into two Pallas
+kernels —
+
+  forward   one kernel, activations never leave VMEM, bf16 MXU matmuls
+            with f32 accumulation;
+  backward  one kernel that RECOMPUTES the forward tile-resident in VMEM
+            (flops are free here; HBM traffic is not) and produces
+            dW/db/dx, accumulating weight grads across row tiles in the
+            revisited-output-block pattern.
+
+HBM traffic per minibatch step drops from ~160 MB to ~x + params + grads
+(~4 MB).  The op count drops from ~60 to 2.
+
+The reference has no analog (pure flax; /root/reference/brax/training/
+networks.py:37-80).  Integration: networks.make_policy_network /
+make_value_network / make_q_network route their MLP applies through
+`dense_chain` when `enable(True)` (ppo/sac turn it on alongside the
+physics kernel on TPU); everything else — losses, distributions, optax —
+stays XLA.
+
+Semantics: y = x @ W0 + b0; h = act(y); ... linear final layer.  Matmuls
+use bf16 inputs/f32 accumulation — the SAME contraction precision as the
+XLA path's Precision.DEFAULT on TPU, so enabling the kernel does not
+change the training numerics class.  `matmul_dtype=jnp.float32` gives a
+full-f32 kernel for parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as onp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENABLED = False
+# row-tile: 512 rows keeps the largest (256-wide, 6-deep) chain's VMEM
+# working set (x + pre-acts + weights + grad accumulators) around 7 MB
+_TILE_N = 512
+_LANE = 128
+
+
+def enable(on: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(on)
+
+
+def enabled() -> bool:
+    return _ENABLED
+
+
+def _rup(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _act_fn(name):
+    if name == "swish":
+        return jax.nn.swish
+    if name == "relu":
+        return jax.nn.relu
+    if name == "tanh":
+        return jnp.tanh
+    raise ValueError(f"unsupported fused activation: {name}")
+
+
+def _act_grad(name, z):
+    """d act(z) / dz from the pre-activation z."""
+    if name == "swish":
+        s = jax.nn.sigmoid(z)
+        return s * (1.0 + z * (1.0 - s))
+    if name == "relu":
+        return (z > 0).astype(z.dtype)
+    if name == "tanh":
+        t = jnp.tanh(z)
+        return 1.0 - t * t
+    raise ValueError(name)
+
+
+def _fwd_kernel(n_layers, act_name, mm_dtype, *refs):
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + n_layers]
+    b_refs = refs[1 + n_layers : 1 + 2 * n_layers]
+    out_ref = refs[1 + 2 * n_layers]
+    act = _act_fn(act_name)
+    h = x_ref[:]
+    for i in range(n_layers):
+        z = (
+            jnp.dot(
+                h.astype(mm_dtype),
+                w_refs[i][:].astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_refs[i][:]
+        )
+        h = act(z) if i < n_layers - 1 else z
+    out_ref[:] = h
+
+
+def _bwd_kernel(n_layers, act_name, mm_dtype, *refs):
+    """Recompute forward for this row tile (VMEM-resident), then backprop.
+
+    Outputs: dx tile, then dW_i / db_i accumulated across the row-tile grid
+    (their blocks map every grid step to the same location; TPU grids are
+    sequential, so += is safe)."""
+    x_ref = refs[0]
+    w_refs = refs[1 : 1 + n_layers]
+    b_refs = refs[1 + n_layers : 1 + 2 * n_layers]
+    g_ref = refs[1 + 2 * n_layers]
+    dx_ref = refs[2 + 2 * n_layers]
+    dw_refs = refs[3 + 2 * n_layers : 3 + 3 * n_layers]
+    db_refs = refs[3 + 3 * n_layers : 3 + 4 * n_layers]
+    act = _act_fn(act_name)
+
+    # forward recompute, keeping inputs a_i and pre-activations z_i live
+    a = [x_ref[:]]
+    zs = []
+    for i in range(n_layers):
+        z = (
+            jnp.dot(
+                a[-1].astype(mm_dtype),
+                w_refs[i][:].astype(mm_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + b_refs[i][:]
+        )
+        zs.append(z)
+        if i < n_layers - 1:
+            a.append(act(z))
+
+    first = pl.program_id(0) == 0
+    g = g_ref[:]
+    for i in range(n_layers - 1, -1, -1):
+        # dW_i = a_i^T @ g ; db_i = sum_rows(g)
+        dw = jax.lax.dot_general(
+            a[i].astype(mm_dtype),
+            g.astype(mm_dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db = jnp.sum(g, axis=0, keepdims=True)
+
+        @pl.when(first)
+        def _(dw=dw, db=db, i=i):
+            dw_refs[i][:] = dw
+            db_refs[i][:] = db
+
+        @pl.when(jnp.logical_not(first))
+        def _(dw=dw, db=db, i=i):
+            dw_refs[i][:] += dw
+            db_refs[i][:] += db
+
+        # g_{i-1} = (g @ W_i^T) * act'(z_{i-1})
+        g = jax.lax.dot_general(
+            g.astype(mm_dtype),
+            w_refs[i][:].astype(mm_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if i > 0:
+            g = g * _act_grad(act_name, zs[i - 1])
+    dx_ref[:] = g
+
+
+def _pad2(x, rows, cols):
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, cols - x.shape[1])))
+
+
+@functools.lru_cache(maxsize=None)
+def _get_op(n_layers: int, act_name: str, mm_dtype_name: str, interpret: bool):
+    """A custom-vjp'd (x2, Ws, bs) -> y2 op for padded 2-D operands.
+
+    Cached per (depth, activation, matmul dtype): shapes stay dynamic, so
+    one op instance serves every batch size / width combination."""
+    mm_dtype = jnp.bfloat16 if mm_dtype_name == "bf16" else jnp.float32
+
+    def call_fwd(x2, ws, bs):
+        n, _ = x2.shape
+        grid = (n // _TILE_N,)
+        dims = [w.shape[0] for w in ws] + [ws[-1].shape[1]]
+        in_specs = [
+            pl.BlockSpec((_TILE_N, dims[0]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        for w in ws:
+            in_specs.append(
+                pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        for b in bs:
+            in_specs.append(
+                pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        return pl.pallas_call(
+            functools.partial(_fwd_kernel, n_layers, act_name, mm_dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(
+                (_TILE_N, dims[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((n, dims[-1]), jnp.float32),
+            interpret=interpret,
+        )(x2, *ws, *bs)
+
+    def call_bwd(x2, ws, bs, g2):
+        n, _ = x2.shape
+        grid = (n // _TILE_N,)
+        dims = [w.shape[0] for w in ws] + [ws[-1].shape[1]]
+        in_specs = [
+            pl.BlockSpec((_TILE_N, dims[0]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        for w in ws:
+            in_specs.append(
+                pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        for b in bs:
+            in_specs.append(
+                pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        in_specs.append(
+            pl.BlockSpec((_TILE_N, dims[-1]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape = [jax.ShapeDtypeStruct((n, dims[0]), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((_TILE_N, dims[0]), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        ]
+        for w in ws:
+            out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+            out_specs.append(
+                pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        for b in bs:
+            out_shape.append(jax.ShapeDtypeStruct(b.shape, jnp.float32))
+            out_specs.append(
+                pl.BlockSpec(b.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            )
+        outs = pl.pallas_call(
+            functools.partial(_bwd_kernel, n_layers, act_name, mm_dtype),
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(x2, *ws, *bs, g2)
+        dx = outs[0]
+        dws = tuple(outs[1 : 1 + n_layers])
+        dbs = tuple(outs[1 + n_layers :])
+        return dx, dws, dbs
+
+    @jax.custom_vjp
+    def op(x2, ws, bs):
+        return call_fwd(x2, ws, bs)
+
+    def op_fwd(x2, ws, bs):
+        return call_fwd(x2, ws, bs), (x2, ws, bs)
+
+    def op_bwd(res, g2):
+        x2, ws, bs = res
+        return call_bwd(x2, ws, bs, g2)
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def dense_chain(
+    x: jnp.ndarray,
+    kernels: Sequence[jnp.ndarray],
+    biases: Sequence[jnp.ndarray],
+    activation: str = "swish",
+    matmul_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """act-separated Dense chain (linear final layer), fused fwd+bwd.
+
+    x: [..., d0]; kernels[i]: [d_i, d_{i+1}]; biases[i]: [d_{i+1}].
+    Equivalent to the flax MLP in networks.py with activate_final=False.
+    Feature dims are zero-padded to lane multiples and rows to the tile
+    size at the XLA level (pad/slice VJPs keep gradients exact)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_layers = len(kernels)
+    lead = x.shape[:-1]
+    d_in = x.shape[-1]
+    x2 = x.reshape(-1, d_in)
+    n = x2.shape[0]
+
+    dims = [d_in] + [k.shape[1] for k in kernels]
+    pdims = [_rup(d, _LANE) for d in dims]
+    pn = _rup(max(n, _TILE_N), _TILE_N)
+
+    x2p = _pad2(x2, pn, pdims[0])
+    wsp = tuple(
+        _pad2(k, pdims[i], pdims[i + 1]) for i, k in enumerate(kernels)
+    )
+    bsp = tuple(
+        jnp.pad(b.reshape(1, -1), ((0, 0), (0, pdims[i + 1] - b.shape[-1])))
+        for i, b in enumerate(biases)
+    )
+
+    mm_name = "bf16" if matmul_dtype == jnp.bfloat16 else "f32"
+    op = _get_op(n_layers, activation, mm_name, bool(interpret))
+    y2 = op(x2p, wsp, bsp)
+    return y2[:n, : dims[-1]].reshape(*lead, dims[-1])
+
+
+def flax_mlp_params(params) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]:
+    """Extract (kernels, biases) in layer order from flax MLP params
+    (networks.MLP names layers hidden_0..hidden_{k-1})."""
+    layers = params["params"]
+    names = sorted(layers.keys(), key=lambda s: int(s.split("_")[-1]))
+    kernels = tuple(layers[nm]["kernel"] for nm in names)
+    biases = tuple(layers[nm]["bias"] for nm in names)
+    return kernels, biases
+
+
+_ACT_NAMES = {}
+
+
+def activation_name(fn) -> str | None:
+    """Map a supported activation callable to its kernel name."""
+    import flax.linen as linen
+
+    if fn in (jax.nn.swish, jax.nn.silu, linen.swish):
+        return "swish"
+    if fn in (jax.nn.relu, linen.relu):
+        return "relu"
+    if fn in (jnp.tanh, jax.nn.tanh, linen.tanh):
+        return "tanh"
+    return None

@@ -51,6 +51,24 @@ class MLP(linen.Module):
         return hidden
 
 
+def _mlp_apply(mlp_module: "MLP", params, x):
+    """MLP apply, routed through the fused Pallas fwd/bwd kernel when
+    training.fused_mlp is enabled (the SGD phase is otherwise bound on
+    activation HBM traffic + per-op overhead — see fused_mlp.py)."""
+    from brax_tpu.training import fused_mlp
+
+    act_name = fused_mlp.activation_name(mlp_module.activation)
+    if (
+        fused_mlp.enabled()
+        and act_name is not None
+        and not mlp_module.activate_final
+        and mlp_module.bias
+    ):
+        kernels, biases = fused_mlp.flax_mlp_params(params)
+        return fused_mlp.dense_chain(x, kernels, biases, activation=act_name)
+    return mlp_module.apply(params, x)
+
+
 def make_policy_network(
     param_size: int,
     obs_size: int,
@@ -67,7 +85,7 @@ def make_policy_network(
 
     def apply(processor_params, policy_params, obs):
         obs = preprocess_observations_fn(obs, processor_params)
-        return policy_module.apply(policy_params, obs)
+        return _mlp_apply(policy_module, policy_params, obs)
 
     dummy_obs = jnp.zeros((1, obs_size))
     return FeedForwardNetwork(
@@ -90,7 +108,7 @@ def make_value_network(
 
     def apply(processor_params, value_params, obs):
         obs = preprocess_observations_fn(obs, processor_params)
-        return jnp.squeeze(value_module.apply(value_params, obs), axis=-1)
+        return jnp.squeeze(_mlp_apply(value_module, value_params, obs), axis=-1)
 
     dummy_obs = jnp.zeros((1, obs_size))
     return FeedForwardNetwork(
@@ -128,6 +146,24 @@ def make_q_network(
 
     def apply(processor_params, q_params, obs, actions):
         obs = preprocess_observations_fn(obs, processor_params)
+        from brax_tpu.training import fused_mlp
+
+        act_name = fused_mlp.activation_name(activation)
+        if fused_mlp.enabled() and act_name is not None:
+            # per-critic fused chains (flax auto-names the submodules MLP_i);
+            # dx flows through both obs and actions — the SAC actor update
+            # differentiates Q wrt the action input
+            hidden = jnp.concatenate([obs, actions], axis=-1)
+            res = []
+            for i in range(n_critics):
+                sub = {"params": q_params["params"][f"MLP_{i}"]}
+                kernels, biases = fused_mlp.flax_mlp_params(sub)
+                res.append(
+                    fused_mlp.dense_chain(
+                        hidden, kernels, biases, activation=act_name
+                    )
+                )
+            return jnp.concatenate(res, axis=-1)
         return q_module.apply(q_params, obs, actions)
 
     dummy_obs = jnp.zeros((1, obs_size))

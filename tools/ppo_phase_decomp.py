@@ -82,6 +82,11 @@ def main():
     num_minibatches = cfg["num_minibatches"]
     num_updates_per_batch = cfg["num_updates_per_batch"]
     sim_kernels.enable(jax.default_backend() == "tpu")
+    import os
+
+    from brax_tpu.training import fused_mlp
+
+    fused_mlp.enable(os.environ.get("FUSED_MLP", "0") == "1")
 
     env = wrappers.wrap_for_training_any(
         envs._envs["ant"](), episode_length=episode_length, action_repeat=1
