@@ -105,9 +105,9 @@ def train(
     # aot_cache=True: the three jitted programs (reset, eval unroll,
     # training epoch) round-trip the on-disk StableHLO cache (brax_tpu.aot),
     # so warm restarts skip minutes of Python tracing of the fused-kernel
-    # graphs.  The cached epoch program drops buffer donation (params +
-    # env state are duplicated for one program instance — negligible at RL
-    # sizes).  Keyed on every trainer hyperparameter + the System content.
+    # graphs.  The cached epoch donates (training_state, env_state) just
+    # like the plain-jit path (aot.cached_call donate_argnums).  Keyed on
+    # every trainer hyperparameter + the System content.
     aot_fp = None
     if aot_cache:
         from brax_tpu import aot
@@ -446,6 +446,7 @@ def train(
             training_epoch_sm,
             f"ppo_epoch_{aot_fp}",
             (training_state, env_state, _example_keys),
+            donate_argnums=(0, 1),
         )
         _mark("training epoch program ready")
 

@@ -473,6 +473,7 @@ def train(
             training_epoch_sm,
             f"sac_epoch_{aot_fp}",
             (training_state, env_state, buffer_state, _example_keys),
+            donate_argnums=(0, 1, 2),
         )
 
     if not eval_env:

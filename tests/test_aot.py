@@ -97,6 +97,30 @@ def test_fingerprint_callable_distinguishes_partials():
     assert aot.fingerprint_callable(None) == "None"
 
 
+def test_cached_call_donation(tmp_path, monkeypatch):
+    """donate_argnums on the cached path: correct outputs both cold and
+    warm; on TPU the donated input buffer is actually freed (CPU ignores
+    donation, so the deletion assert is hardware-gated)."""
+    monkeypatch.setenv("BRAX_TPU_AOT_DIR", str(tmp_path))
+
+    def fn(state, key):
+        return jax.tree_util.tree_map(lambda v: v * 2.0, state), key + 1
+
+    state = {"a": jnp.ones((8, 8)), "b": jnp.zeros((3,))}
+    key = jnp.zeros(())
+    for expect in ("miss", "hit"):
+        call, status = aot.cached_call(
+            fn, "unit_donate", (state, key), donate_argnums=(0,)
+        )
+        assert status == expect
+        st = {"a": jnp.ones((8, 8)), "b": jnp.zeros((3,))}
+        out, k2 = call(st, key)
+        np.testing.assert_array_equal(np.asarray(out["a"]), 2.0 * np.ones((8, 8)))
+        if jax.default_backend() == "tpu":
+            jax.block_until_ready(out)
+            assert st["a"].is_deleted()
+
+
 def test_cached_call_disabled_env(tmp_path, monkeypatch):
     monkeypatch.setenv("BRAX_TPU_NO_CACHE", "1")
     call, status = aot.cached_call(lambda x: x + 1, "unit_disabled", (jnp.ones(3),))
