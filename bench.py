@@ -274,6 +274,38 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"ppo e2e accounting failed: {e!r}", file=sys.stderr)
 
+    # --- v2 generalized kernel roofline (VERDICT r4 item 2) -------------
+    # Rate measured live; algorithmic flops/env-step are a static property
+    # of the scene (solver_iterations, n_frames, nr, nd) computed by
+    # tools/roofline_v2_generalized.py from scan-corrected XLA cost
+    # analysis of the unfused path (HW_r05/roofline_v2_generalized3.log);
+    # the roof is the measured VPU peak — the kernel vectorizes per-env
+    # (14,14)-matrix algebra across lanes, no MXU contractions exist.
+    try:
+        sys.path.insert(0, "tools")
+        import roofline_v2_generalized as rg
+
+        gen_rate = rg.measured_rate("ant", 4096)
+        GEN_ANT_FLOPS = 687989.0
+        extras["gen_ant"] = {
+            "metric": "gen_ant_env_steps_per_s_4096envs",
+            "value": round(gen_rate),
+            "unit": "env-steps/s",
+            "mfu": round(gen_rate * GEN_ANT_FLOPS / vpu_peak, 4),
+            "flops_per_env_step": round(GEN_ANT_FLOPS),
+            "pct_of_speed_of_light": round(
+                100 * gen_rate * GEN_ANT_FLOPS / vpu_peak, 1
+            ),
+        }
+        print(
+            f"gen ant@4096: {gen_rate/1e6:.2f}M env-steps/s, "
+            f"{extras['gen_ant']['pct_of_speed_of_light']:.1f}% of its VPU "
+            f"speed of light",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"gen roofline failed: {e!r}", file=sys.stderr)
+
     print(
         json.dumps(
             {
