@@ -1287,6 +1287,7 @@ def build_pipeline_step_fn(
 # ---------------------------------------------------------------------------
 
 _ENABLED = False
+_FORCE_INTERPRET = False
 _STEP_CACHE: dict = {}
 _CUSTOM_CACHE: dict = {}
 
@@ -1299,6 +1300,18 @@ def enable(on: bool = True):
 
 def enabled() -> bool:
     return _ENABLED
+
+
+def force_interpret(on: bool = True):
+    """Route the vmapped dispatch through the INTERPRETED kernel on CPU.
+
+    Without this, a non-TPU backend silently falls back to the jnp scan,
+    which would make CI kernel-on/off training-equivalence tests vacuous:
+    they must execute the actual kernel body (in interpreter mode) to
+    guard its numerics against the XLA path."""
+    global _FORCE_INTERPRET
+    _FORCE_INTERPRET = on
+    _STEP_CACHE.clear()
 
 
 def _with_vjp(sys: System, n_frames: int, kernel_fn):
@@ -1371,13 +1384,17 @@ def custom_pipeline_step_for(sys: System, n_frames: int):
             core_b
             and supported(sys)
             and axis_size % LANE == 0
-            and jax.default_backend() in ("tpu", "axon")
+            and (
+                jax.default_backend() in ("tpu", "axon") or _FORCE_INTERPRET
+            )
         ):
-            fn = _STEP_CACHE.get((key, axis_size))
+            fn = _STEP_CACHE.get((key, axis_size, _FORCE_INTERPRET))
             if fn is None:
-                fn = build_pipeline_step_fn(sys, n_frames, axis_size)
+                fn = build_pipeline_step_fn(
+                    sys, n_frames, axis_size, interpret=_FORCE_INTERPRET
+                )
                 fn = _with_vjp(sys, n_frames, fn)
-                _STEP_CACHE[(key, axis_size)] = fn
+                _STEP_CACHE[(key, axis_size, _FORCE_INTERPRET)] = fn
             out = fn(state, act)
             out_batched = state_b.replace(
                 q=True,
