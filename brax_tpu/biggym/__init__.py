@@ -38,11 +38,15 @@ def register(
     env_fn: Optional[Callable] = None,
     component_fn: Optional[Callable] = None,
     track: str = "open_ended",
+    tracks: Optional[tuple] = None,
 ):
     """Registers a contributed env and/or composer component.
 
-    Registering a component automatically creates one task env per
-    goal-oriented track (e.g. race_<name>, sumo_<name>_vs_<name>).
+    Registering a component creates one task env per entered goal-oriented
+    track (e.g. race_<name>) and enters the component into that track's
+    match-making pool (see register_matches).  `tracks` defaults to every
+    single-agent track; match tracks (race_ma/sumo/onigokko_*) only enter
+    the pool — their envs are created pairwise by register_matches().
     """
     created = []
     if env_fn is not None:
@@ -55,11 +59,20 @@ def register(
         comp_name = registry_name
         composer_components.register_component(comp_name, component_fn)
         COMPONENTS[comp_name] = comp_name
-        for track_name, task_fn in tasks.TASKS.items():
-            env_name = f"{track_name}_{comp_name}"
-            ENVS[env_name] = task_fn(comp_name)
-            ENVS_BY_TRACKS[track_name].append(env_name)
-            created.append(env_name)
+        entered = tuple(tracks) if tracks is not None else tuple(tasks.TASKS)
+        for track_name in entered:
+            if track_name in tasks.TASKS:
+                env_name = tasks.get_task_env_name(track_name, comp_name)
+                ENVS[env_name] = tasks.TASKS[track_name](comp_name)
+                ENVS_BY_TRACKS[track_name].append(env_name)
+                created.append(env_name)
+                if comp_name not in COMPONENTS_BY_TRACKS[track_name]:
+                    COMPONENTS_BY_TRACKS[track_name].append(comp_name)
+            else:
+                # match track: enter the pool of its single-agent feeder
+                pool = _match_pool_track(track_name)
+                if comp_name not in COMPONENTS_BY_TRACKS[pool]:
+                    COMPONENTS_BY_TRACKS[pool].append(comp_name)
     return created
 
 
@@ -148,7 +161,9 @@ def register_module(registry_name: str, assert_format: bool = True):
     for name, info in sorted(getattr(lib, "COMPONENTS", {}).items() or []):
         comp_name = f"{registry_name.rsplit('.', 1)[-1]}_{name}"
         comp_fn = _resolve(path, "components", info["module"])
-        created = register(comp_name, component_fn=comp_fn)
+        created = register(
+            comp_name, component_fn=comp_fn, tracks=info.get("tracks")
+        )
         comp_names.append(comp_name)
         task_env_names.extend(created)
 
@@ -159,6 +174,86 @@ def register_module(registry_name: str, assert_format: bool = True):
         "metadata": metadata,
     }
     return env_names, comp_names, task_env_names, metadata
+
+
+def register_all(verbose: bool = False, **kwargs):
+    """Registers every submission package listed in registry.REGISTRIES
+    (parity: reference biggym/__init__.py:112-119)."""
+    from brax_tpu.biggym import registry as registry_pkg
+
+    out = {}
+    for registry_name in registry_pkg.REGISTRIES:
+        env_names, comp_names, task_env_names, _ = register_module(
+            registry_name, **kwargs
+        )
+        if verbose:
+            print(
+                f"Registered {registry_name}: {len(env_names)} envs, "
+                f"{len(comp_names)} comps, {len(task_env_names)} task_envs"
+            )
+        out[registry_name] = (env_names, comp_names, task_env_names)
+    return out
+
+
+# components entered per goal-oriented track, for match-making
+COMPONENTS_BY_TRACKS: Dict[str, list] = {k: [] for k in tasks.TASKS}
+ENVS_BY_TRACKS["goal_oriented_matches"] = []
+
+
+def register_match(
+    track: str, comp1: str, comp2: str, assert_override: bool = True
+) -> str:
+    """Registers a head-to-head match env between two contributed
+    components on a match track (parity: reference biggym register_match).
+    """
+    assert track in tasks.MATCH_TASKS, (track, sorted(tasks.MATCH_TASKS))
+    env_name = tasks.get_match_env_name(track, comp1, comp2)
+    if assert_override:
+        assert not exists(env_name), f"{env_name} already registered"
+    ENVS[env_name] = tasks.MATCH_TASKS[track](comp1, opponent=comp2)
+    ENVS_BY_TRACKS["goal_oriented_matches"].append(env_name)
+    return env_name
+
+
+def register_matches(assert_override: bool = True):
+    """Match-makes every pair of components entered per track: symmetric
+    tracks get each unordered pair once, asymmetric tracks get ordered
+    pairs (prey/predator roles differ).  Parity: reference
+    biggym/__init__.py:239-254."""
+    import itertools
+
+    task_envs = []
+    for track in tasks.SYMMETRIC_MA_TASKS:
+        pool = COMPONENTS_BY_TRACKS.get(_match_pool_track(track), [])
+        for comp1, comp2 in itertools.combinations(pool, 2):
+            task_envs.append(
+                register_match(track, comp1, comp2, assert_override)
+            )
+    for track in tasks.ASYMMETRIC_MA_TASKS:
+        pool = COMPONENTS_BY_TRACKS.get(_match_pool_track(track), [])
+        for comp1, comp2 in itertools.product(pool, pool):
+            if comp1 == comp2:
+                continue
+            task_envs.append(
+                register_match(track, comp1, comp2, assert_override)
+            )
+    return task_envs
+
+
+def _match_pool_track(match_track: str) -> str:
+    """Maps a match track to the single-agent track whose entrants feed it
+    (race_ma <- race, sumo <- sumo, onigokko_* <- chase)."""
+    return {
+        "race_ma": "race",
+        "sumo": "sumo",
+        "onigokko_prey": "chase",
+        "onigokko_predator": "chase",
+    }[match_track]
+
+
+def create_fn(env_name: str, **kwargs) -> Callable:
+    """Returns a zero-arg env constructor (parity: reference create_fn)."""
+    return functools.partial(create, env_name, **kwargs)
 
 
 def inspect_env(env_name: str):

@@ -84,3 +84,57 @@ def test_submission_format_rejects_bad_metadata():
 
     with _pytest.raises(AssertionError):
         biggym._validate_metadata(object(), "x")
+
+
+def test_register_all_and_match_making():
+    """Directory registry round-trip + pairwise match-making (parity:
+    reference biggym register_all/register_match(es),
+    registry/__init__.py REGISTRIES)."""
+    import jax
+    import jax.numpy as jnp
+
+    from brax_tpu.biggym import registry as registry_pkg
+    from brax_tpu.biggym import tasks
+
+    assert registry_pkg.REGISTRIES == sorted(registry_pkg.REGISTRIES)
+    out = biggym.register_all()
+    assert set(out) == set(registry_pkg.REGISTRIES)
+    # the ant submission entered the match pools declared in its tracks
+    assert "ant_ant" in biggym.COMPONENTS_BY_TRACKS["race"]
+    assert "ant_ant" in biggym.COMPONENTS_BY_TRACKS["sumo"]
+
+    matches = biggym.register_matches()
+    # symmetric tracks: one env per unordered pair; asymmetric: per ordered
+    pools = {t: biggym.COMPONENTS_BY_TRACKS[biggym._match_pool_track(t)]
+             for t in tasks.SYMMETRIC_MA_TASKS + tasks.ASYMMETRIC_MA_TASKS}
+    n_sym = sum(len(pools[t]) * (len(pools[t]) - 1) // 2
+                for t in tasks.SYMMETRIC_MA_TASKS)
+    n_asym = sum(len(pools[t]) * (len(pools[t]) - 1)
+                 for t in tasks.ASYMMETRIC_MA_TASKS)
+    assert len(matches) == n_sym + n_asym
+    assert all(m in biggym.ENVS_BY_TRACKS["goal_oriented_matches"]
+               for m in matches)
+    # symmetric pair registered in one orientation
+    assert (
+        tasks.get_match_env_name("sumo", "ant_ant", "proant_ant") in matches
+        or tasks.get_match_env_name("sumo", "proant_ant", "ant_ant") in matches
+    )
+
+    # a symmetric match env actually builds, resets, and steps with
+    # per-agent action groups
+    race_matches = [m for m in matches if m.startswith("match_race_ma__")]
+    env = biggym.create(race_matches[0], episode_length=16, auto_reset=False)
+    s = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert bool(jnp.all(jnp.isfinite(s.obs)))
+    groups = getattr(env.unwrapped, "group_action_shapes", None)
+    assert groups and len(groups) == 2  # two match participants
+    act = jnp.zeros(env.action_size)
+    s2 = jax.jit(env.step)(s, act)
+    assert bool(jnp.all(jnp.isfinite(s2.reward)))
+    assert jnp.shape(s2.reward) == (2,)  # per-agent match rewards
+
+
+def test_create_fn():
+    fn = biggym.create_fn("ant", episode_length=8)
+    env = fn()
+    assert env.action_size == 8
