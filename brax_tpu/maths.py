@@ -349,3 +349,30 @@ def quat_to_3x3(q: Array) -> Array:
         jnp.stack([xz - wy, yz + wx, 1 - (xx + yy)], axis=-1),
     ]
     return jnp.stack(rows, axis=-2)
+
+
+def physics_precision(fn):
+    """Wraps a physics entry point in jax.default_matmul_precision('highest').
+
+    On this jax build, DEFAULT matmul precision silently degrades f32
+    contractions to bf16 inputs EVEN ON CPU (measured: humanoid mass
+    matrix M[0,0] = 42.0 under an f32 (23,6)@(6,23) matmul whose exact
+    value is 42.116028 = the total mass; numpy agrees with the exact
+    value).  That is acceptable for the trainer MLPs (2x faster, RL-noise
+    scale) but wrong for physics: the v2 generalized pipeline's mass
+    matrix, NNLS solve, and contact math all run through tiny matmuls
+    where the ~0.3%% bf16 input rounding turns into qd errors 4-14x above
+    the true platform noise floor (HW_r05/diag_gen_kernel_humanoid.log
+    pre-fix).  The fused Pallas kernels always did these contractions in
+    f32 and were MORE accurate than the jnp path — this restores parity.
+    The context is a trace-time setting: everything traced inside the
+    entry point (kinematics, geometry, constraint solve) is covered, and
+    the trainers' own matmuls outside it keep the fast default."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped

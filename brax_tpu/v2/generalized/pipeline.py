@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from brax_tpu import maths as _maths  # noqa: E402
 from brax_tpu.v2 import actuator, geometry, kinematics
 from brax_tpu.v2.base import System
 from brax_tpu.v2.generalized import constraint, dynamics, integrator, mass
@@ -16,6 +17,7 @@ from brax_tpu.v2.generalized.base import State
 Array = jnp.ndarray
 
 
+@_maths.physics_precision
 def init(sys: System, q: Array, qd: Array) -> State:
     """Initial pipeline state from joint position/velocity."""
     state = State.zero(sys)
@@ -28,6 +30,7 @@ def init(sys: System, q: Array, qd: Array) -> State:
     return state
 
 
+@_maths.physics_precision
 def step(sys: System, state: State, act: Array) -> State:
     """One physics step."""
     tau = actuator.to_tau(sys, act, state.q)

@@ -54,6 +54,7 @@ def _joint_transform_motion(typ: str, q: Array, qd: Array, motion: Motion):
     return j, jd
 
 
+@maths.physics_precision
 def forward(sys: System, q: Array, qd: Array) -> Tuple[Transform, Motion]:
     """Joint position/velocity -> world-frame transform/motion.
 
@@ -199,6 +200,7 @@ def axis_slide_vel(
     return joint_motion.vel, coords, velocities
 
 
+@maths.physics_precision
 def inverse(sys: System, x: Transform, xd: Motion) -> Tuple[Array, Array]:
     """Maximal coordinates -> reduced q/qd (reference kinematics.py:269-312)."""
     j, jd = world_to_joint_frame(sys, x, xd)

@@ -35,6 +35,7 @@ class State(base.State):
     """Positional pipeline state (q, qd, x, xd, contact)."""
 
 
+@maths.physics_precision
 def init(sys: System, q: Array, qd: Array) -> State:
     x, xd = kinematics.forward(sys, q, qd)
     contact = geometry.contact(sys, x)
@@ -402,6 +403,7 @@ def _velocity_projection(sys, xi, xi_prev):
     return Motion(vel=vel, ang=ang)
 
 
+@maths.physics_precision
 def step(sys: System, state: State, act: Array) -> State:
     """One positional-dynamics step."""
     x, xd = state.x, state.xd

@@ -11,6 +11,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from brax_tpu import maths as _maths  # noqa: E402
 from brax_tpu.v2 import actuator, base, geometry, kinematics
 from brax_tpu.v2.base import System, Transform
 from brax_tpu.v2.spring import collisions, integrator, joints, maximal
@@ -23,6 +24,7 @@ class State(base.State):
     """Spring pipeline state (q, qd, x, xd, contact)."""
 
 
+@_maths.physics_precision
 def init(sys: System, q: Array, qd: Array) -> State:
     """Initial state from joint position/velocity."""
     x, xd = kinematics.forward(sys, q, qd)
@@ -30,6 +32,7 @@ def init(sys: System, q: Array, qd: Array) -> State:
     return State(q, qd, x, xd, contact)
 
 
+@_maths.physics_precision
 def step(sys: System, state: State, act: Array) -> State:
     """One spring-dynamics step."""
     x, xd = state.x, state.xd
