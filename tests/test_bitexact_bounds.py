@@ -179,3 +179,63 @@ def test_tpu_short_horizon_divergence_bound():
                 np.abs(np.asarray(rs.qp.pos) - np.asarray(ms.qp.pos)).max()
             )
             assert d < bounds[i + 1], f"step {i+1}: max|dpos| {d:.2e}"
+
+
+@pytest.mark.parametrize(
+    "env_name,tols",
+    [
+        # tolerances ~4-6x the gaps measured by tools/measure_stat_parity.py
+        # (HW_r05/stat_parity.log): grasp rel reward_mean 0.8% (abs 1.6e-5),
+        # fetch reward_std 2.9%, humanoid all <=0.25%
+        (
+            "grasp",
+            dict(reward_mean_abs=1e-4, reward_std_rtol=0.01,
+                 done_frac_abs=0.005, z_rtol=None),
+        ),
+        # fetch z stats carry ~2% run-to-run variance from the XLA fusion
+        # arrangement (virtual-device count changes contraction order and
+        # the 1000-step chase chaos amplifies it): z_rtol covers that band
+        (
+            "fetch",
+            dict(reward_mean_abs=5e-4, reward_std_rtol=0.12,
+                 done_frac_abs=0.005, z_rtol=0.06),
+        ),
+        (
+            "humanoid",
+            dict(reward_mean_abs=None, reward_mean_rtol=0.005,
+                 reward_std_rtol=0.01, done_frac_abs=0.005, z_rtol=0.01),
+        ),
+    ],
+)
+def test_statistical_parity_contact_heavy_envs(env_name, tols):
+    """VERDICT r4 item 5: the 256-env x 1000-step statistical-parity
+    harness extended to the three contact-heavy envs where 3-step parity
+    proves least (grasp's claw stack, fetch's chase rewards, humanoid's
+    ball joints).  Shared random action stream; trajectories decorrelate,
+    distributions must match.  grasp's z stats are degenerate (body 0 is
+    the frozen scene root) and skipped."""
+    from brax.envs import create as ref_create
+
+    from brax_tpu.envs import create as my_create
+    from tools.measure_stat_parity import run_stats
+
+    NENV, NSTEP = 256, 1000
+    ref = run_stats(ref_create, env_name, NENV, NSTEP, ref_side=True)
+    mine = run_stats(my_create, env_name, NENV, NSTEP)
+
+    if tols.get("reward_mean_abs") is not None:
+        assert abs(ref["reward_mean"] - mine["reward_mean"]) < tols[
+            "reward_mean_abs"
+        ], (ref, mine)
+    else:
+        np.testing.assert_allclose(
+            ref["reward_mean"], mine["reward_mean"],
+            rtol=tols["reward_mean_rtol"],
+        )
+    np.testing.assert_allclose(
+        ref["reward_std"], mine["reward_std"], rtol=tols["reward_std_rtol"]
+    )
+    assert abs(ref["done_frac"] - mine["done_frac"]) < tols["done_frac_abs"]
+    if tols.get("z_rtol"):
+        np.testing.assert_allclose(ref["z_mean"], mine["z_mean"], rtol=tols["z_rtol"])
+        np.testing.assert_allclose(ref["z_std"], mine["z_std"], rtol=tols["z_rtol"])
