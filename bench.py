@@ -282,7 +282,9 @@ def main():
     # the roof is the measured VPU peak — the kernel vectorizes per-env
     # (14,14)-matrix algebra across lanes, no MXU contractions exist.
     try:
-        sys.path.insert(0, "tools")
+        import os
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
         import roofline_v2_generalized as rg
 
         gen_rate = rg.measured_rate("ant", 4096)

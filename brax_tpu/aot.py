@@ -69,24 +69,57 @@ def fingerprint(*parts: Any) -> str:
 
 
 def fingerprint_callable(fn: Any) -> str:
-    """Content-identifying repr of a callable for fingerprint() parts.
+    """Content-identifying, PROCESS-STABLE repr of a callable.
 
     functools.partial has no __qualname__, so the naive getattr collapses
     every partial-wrapped factory to one constant and two runs differing
-    only in partial kwargs share a cache key.  Unwrap recursively: the
-    wrapped function's qualname plus the repr of bound args/kwargs."""
+    only in partial kwargs share a cache key.  Unwrap recursively — and
+    fingerprint bound VALUES with the same care: a function-valued kwarg
+    (e.g. activation=jax.nn.swish, the standard factory pattern) must
+    hash by qualname, not by repr's memory address, or warm restarts
+    would never hit the disk cache."""
     import functools
 
     if fn is None:
         return "None"
     if isinstance(fn, functools.partial):
         inner = fingerprint_callable(fn.func)
-        kw = ", ".join(f"{k}={v!r}" for k, v in sorted(fn.keywords.items()))
-        return f"partial({inner}, args={fn.args!r}, kwargs=({kw}))"
+        args = ", ".join(_stable_repr(a) for a in fn.args)
+        kw = ", ".join(
+            f"{k}={_stable_repr(v)}" for k, v in sorted(fn.keywords.items())
+        )
+        return f"partial({inner}, args=({args}), kwargs=({kw}))"
     qn = getattr(fn, "__qualname__", None)
     if qn is not None:
         return f"{getattr(fn, '__module__', '?')}.{qn}"
+    # callable object with no qualname: identify by type, not instance repr
+    if callable(fn):
+        t = type(fn)
+        return f"instance:{t.__module__}.{t.__qualname__}"
     return repr(fn)
+
+
+def _stable_repr(v: Any) -> str:
+    """repr that never embeds memory addresses (callables -> qualnames,
+    containers recursed)."""
+    if callable(v) or v is None:
+        return fingerprint_callable(v) if v is not None else "None"
+    if isinstance(v, (list, tuple)):
+        inner = ", ".join(_stable_repr(x) for x in v)
+        return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+    if isinstance(v, dict):
+        return (
+            "{"
+            + ", ".join(
+                f"{k!r}: {_stable_repr(x)}" for k, x in sorted(v.items())
+            )
+            + "}"
+        )
+    r = repr(v)
+    if " at 0x" in r:  # default object repr: replace the address
+        t = type(v)
+        return f"instance:{t.__module__}.{t.__qualname__}"
+    return r
 
 
 def fingerprint_pytree(tree: Any) -> str:

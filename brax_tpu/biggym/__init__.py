@@ -60,6 +60,11 @@ def register(
         composer_components.register_component(comp_name, component_fn)
         COMPONENTS[comp_name] = comp_name
         entered = tuple(tracks) if tracks is not None else tuple(tasks.TASKS)
+        valid = set(tasks.TASKS) | set(tasks.MATCH_TASKS)
+        unknown = sorted(set(entered) - valid)
+        assert not unknown, (
+            f"unknown tracks {unknown}; valid: {sorted(valid)}"
+        )
         for track_name in entered:
             if track_name in tasks.TASKS:
                 env_name = tasks.get_task_env_name(track_name, comp_name)

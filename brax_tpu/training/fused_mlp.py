@@ -323,9 +323,6 @@ def flax_mlp_params(params) -> Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray,
     return kernels, biases
 
 
-_ACT_NAMES = {}
-
-
 def activation_name(fn) -> str | None:
     """Map a supported activation callable to its kernel name."""
     import flax.linen as linen

@@ -418,8 +418,11 @@ class Parser:
                 t[0] == "kw" and val in self._BINOPS[lvl]
             ):
                 self.next()
-                r = self.binary(lvl + 1)
+                # JS '**' is right-associative: recurse at the SAME level
+                r = self.binary(lvl if val == "**" else lvl + 1)
                 e = ("binop", val, e, r)
+                if val == "**":
+                    return e
             else:
                 return e
 
@@ -639,6 +642,18 @@ def _js_num(x):
     if x is None or x is UNDEF:
         return 0.0 if x is None else float("nan")
     return float("nan")
+
+
+def _wrap_int32(x):
+    x &= 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+def _to_int32(v):
+    n = _js_num(v)
+    if n != n or n in (float("inf"), float("-inf")):
+        return 0
+    return _wrap_int32(int(n))
 
 
 def truthy(v):
@@ -924,16 +939,22 @@ class Interp:
                 return self.cmp(a, b) > 0
             if o == ">=":
                 return self.cmp(a, b) >= 0
-            if o == "<<":
-                return float(int(_js_num(a)) << int(_js_num(b)))
-            if o in (">>", ">>>"):
-                return float(int(_js_num(a)) >> int(_js_num(b)))
-            if o == "|":
-                return float(int(_js_num(a)) | int(_js_num(b)))
-            if o == "&":
-                return float(int(_js_num(a)) & int(_js_num(b)))
-            if o == "^":
-                return float(int(_js_num(a)) ^ int(_js_num(b)))
+            if o in ("<<", ">>", ">>>", "|", "&", "^"):
+                # JS semantics: operands coerce through ToInt32/ToUint32
+                ai = _to_int32(a)
+                sh = int(_js_num(b)) & 31
+                if o == "<<":
+                    return float(_wrap_int32(ai << sh))
+                if o == ">>":
+                    return float(ai >> sh)
+                if o == ">>>":
+                    return float((ai & 0xFFFFFFFF) >> sh)
+                bi = _to_int32(b)
+                if o == "|":
+                    return float(_wrap_int32(ai | bi))
+                if o == "&":
+                    return float(_wrap_int32(ai & bi))
+                return float(_wrap_int32(ai ^ bi))
             if o == "instanceof":
                 return isinstance(a, JSObject) and a.get("__class__") is b
         if op == "ternary":

@@ -41,24 +41,34 @@ def _run_workers(num_procs, tmp_path, timeout=1200):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     # each worker gets its own compile cache dir to avoid lock contention
-    procs, outs = [], []
+    # stdout goes to files, not PIPEs: with PIPEs, draining worker 0 while
+    # worker 1's pipe fills past ~64KB deadlocks against a cross-process
+    # collective both are blocked in
+    procs, outs, logs = [], [], []
     for pid in range(num_procs):
         out = os.path.join(str(tmp_path), f"worker_{num_procs}_{pid}.json")
+        log = os.path.join(str(tmp_path), f"worker_{num_procs}_{pid}.log")
         outs.append(out)
+        logs.append(log)
         procs.append(
             subprocess.Popen(
                 [sys.executable, _WORKER, coord, str(num_procs), str(pid), out],
                 env=env,
-                stdout=subprocess.PIPE,
+                stdout=open(log, "w"),
                 stderr=subprocess.STDOUT,
             )
         )
-    logs = []
-    for p in procs:
-        stdout, _ = p.communicate(timeout=timeout)
-        logs.append(stdout.decode(errors="replace"))
+    try:
+        for p in procs:
+            p.wait(timeout=timeout)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()  # exact PIDs we spawned; no orphans on timeout
+                p.wait()
     for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"worker failed:\n{log[-3000:]}"
+        text = open(log, errors="replace").read()
+        assert p.returncode == 0, f"worker failed:\n{text[-3000:]}"
     return [json.load(open(o)) for o in outs]
 
 
